@@ -1,0 +1,146 @@
+"""Grouped and segment matmul — the heterogeneous-relation-type transform.
+
+TPU-native counterpart of the reference matmul subsystem
+(reference ``pyg_lib/csrc/ops/matmul.cpp`` schemas, CUTLASS GroupedGEMM
+``csrc/ops/cuda/matmul_kernel.cu:20-100``, MKL shape-bucketed batch GEMM
+``csrc/ops/cpu/matmul_kernel.cpp:203-439``, gradients
+``csrc/ops/autograd/matmul_kernel.cpp:22-111``, Python wrappers
+``pyg_lib/ops/__init__.py:8-172``).
+
+Design (TPU-first):
+
+* ``segment_matmul`` maps onto ``jax.lax.ragged_dot`` — XLA's native ragged
+  GEMM primitive, which tiles group boundaries onto the MXU without
+  padding-to-max (the same role CUTLASS ``GemmGrouped`` plays for the
+  reference).  Gradients are supplied via ``jax.custom_vjp`` mirroring the
+  reference backward: ``grad_input = ragged_dot(grad_out, otherᵀ)`` and
+  ``grad_other[g] = inputs[g]ᵀ @ grad_out[g]`` (a ragged-contracting dot).
+* ``grouped_matmul`` (per-group distinct shapes) unrolls to one
+  ``jnp.dot`` per group: group count is static, so XLA compiles one fused
+  program and schedules the GEMMs back-to-back on the MXU.
+* ``ptr`` must be static-shaped; sizes are ``ptr[1:]-ptr[:-1]`` computed on
+  device (no host sync, unlike the reference CPU path's ``.cpu()`` sync at
+  ``matmul_kernel.cpp:413``).
+"""
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pyg_lib_tpu.utils import Array
+
+__all__ = ['grouped_matmul', 'segment_matmul']
+
+
+def _ragged_transpose_dot(inputs: Array, grad_out: Array,
+                          group_sizes: Array, num_groups: int) -> Array:
+    """``out[g] = inputs[rows of g]ᵀ @ grad_out[rows of g]`` -> [G, K, N]."""
+    try:
+        from jax.lax import ragged_dot_general
+        dims = jax.lax.RaggedDotDimensionNumbers(
+            dot_dimension_numbers=(((0, ), (0, )), ((), ())),
+            lhs_ragged_dimensions=[0],
+            rhs_group_dimensions=[],
+        )
+        return ragged_dot_general(inputs, grad_out, group_sizes, dims)
+    except Exception:
+        # Fallback: mask-per-group batched GEMM. G static => unrolled by XLA.
+        e = inputs.shape[0]
+        ids = jnp.repeat(jnp.arange(num_groups), group_sizes, axis=0,
+                         total_repeat_length=e)
+        onehot = jax.nn.one_hot(ids, num_groups, dtype=inputs.dtype)  # [E, G]
+        masked = onehot[:, :, None] * inputs[:, None, :]  # [E, G, K]
+        return jnp.einsum('egk,en->gkn', masked, grad_out)
+
+
+def _sizes_from_ptr(ptr: Array) -> Array:
+    return (ptr[1:] - ptr[:-1]).astype(jnp.int32)
+
+
+@jax.custom_vjp
+def _segment_mm(inputs: Array, group_sizes: Array, other: Array) -> Array:
+    return jax.lax.ragged_dot(
+        inputs, other, group_sizes,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=inputs.dtype)
+
+
+def _segment_mm_fwd(inputs, group_sizes, other):
+    out = _segment_mm(inputs, group_sizes, other)
+    return out, (inputs, group_sizes, other)
+
+
+def _segment_mm_bwd(res, g):
+    inputs, group_sizes, other = res
+    # Reference backward (csrc/ops/autograd/matmul_kernel.cpp:80-111).
+    grad_inputs = jax.lax.ragged_dot(
+        g, jnp.swapaxes(other, 1, 2), group_sizes,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=g.dtype)
+    grad_other = _ragged_transpose_dot(inputs, g, group_sizes,
+                                       other.shape[0])
+    return grad_inputs, None, grad_other.astype(other.dtype)
+
+
+_segment_mm.defvjp(_segment_mm_fwd, _segment_mm_bwd)
+
+
+def segment_matmul(inputs: Array, ptr: Array, other: Array,
+                   bias: Optional[Array] = None) -> Array:
+    """``out[ptr[i]:ptr[i+1]] = inputs[ptr[i]:ptr[i+1]] @ other[i]``.
+
+    Parity: reference ``pyg_lib.ops.segment_matmul``
+    (``pyg_lib/ops/__init__.py:137-172``).
+
+    Args:
+        inputs: ``[N, K]`` left operand.
+        ptr: ``[B+1]`` segment boundaries (``ptr[-1]`` may be < N; trailing
+            padding rows produce zero output rows).
+        other: ``[B, K, M]`` per-segment right operands.
+        bias: optional ``[B, M]`` per-segment bias.
+    """
+    group_sizes = _sizes_from_ptr(ptr)
+    out = _segment_mm(inputs, group_sizes, other)
+    if bias is not None:
+        num_groups = other.shape[0]
+        ids = jnp.repeat(jnp.arange(num_groups), group_sizes, axis=0,
+                         total_repeat_length=inputs.shape[0])
+        out = out + jnp.take(bias, ids, axis=0)
+    return out
+
+
+def grouped_matmul(inputs: List[Array], others: List[Array],
+                   biases: Optional[List[Array]] = None) -> List[Array]:
+    """List-of-GEMMs with per-group shapes.
+
+    Parity: reference ``pyg_lib.ops.grouped_matmul``
+    (``pyg_lib/ops/__init__.py:99-134``).  Group count is static, so XLA
+    compiles the unrolled GEMM sequence into a single program; when all
+    groups share ``K``/``M`` they are concatenated into one
+    :func:`segment_matmul` call to hit the ragged MXU path.
+    """
+    if len(inputs) != len(others):
+        raise ValueError('inputs and others must have equal length')
+    same_shape = (len({x.shape[1] for x in inputs}) == 1
+                  and len({w.shape for w in others}) == 1)
+    if same_shape and len(inputs) > 1:
+        sizes = [x.shape[0] for x in inputs]
+        cat = jnp.concatenate(inputs, axis=0)
+        stacked = jnp.stack(others, axis=0)
+        group_sizes = jnp.array(sizes, dtype=jnp.int32)
+        out = _segment_mm(cat, group_sizes, stacked)
+        outs = []
+        off = 0
+        for i, n in enumerate(sizes):
+            o = out[off:off + n]
+            off += n
+            outs.append(o)
+    else:
+        outs = [
+            jnp.dot(x, w, preferred_element_type=x.dtype)
+            for x, w in zip(inputs, others)
+        ]
+    if biases is not None:
+        outs = [o + b for o, b in zip(outs, biases)]
+    return outs

@@ -1,0 +1,246 @@
+"""CSR segment reductions and ``gather_csr`` — THE message-passing primitive.
+
+TPU-native counterpart of the reference CSR segment subsystem
+(reference ``pyg_lib/csrc/ops/cpu/segment_csr_kernel.cpp:31-155`` CPU loops,
+``csrc/ops/cuda/segment_csr_kernel.cu:17-76`` warp-per-row kernels,
+``csrc/ops/autograd/segment_csr_kernel.cpp`` gradients, Python wrappers
+``pyg_lib/ops/__init__.py:634-745,816-835``).
+
+GCN-style aggregation is ``gather(x, col)`` followed by
+``segment_sum_csr(msgs, rowptr)``.  Rows are contiguous (CSR), so the
+reduction is deterministic and atomic-free — ideal for TPU.  Two paths:
+
+* XLA path (default): expand ``indptr`` to sorted per-element segment ids and
+  use a sorted scatter-add.  XLA fuses the expansion with the reduction.
+* Pallas path (``pyg_lib_tpu.ops.pallas.segment_csr_matmul_kernel``): blocks
+  of rows are reduced by a 0/1-membership matmul on the MXU, streaming
+  ``src`` through VMEM — used for the bandwidth roofline benchmark.
+
+The number of segments ``R = indptr.shape[-1] - 1`` is static, so these ops
+are fully jittable with no extra arguments.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pyg_lib_tpu.utils import (
+    Array,
+    indptr_to_index,
+    max_identity,
+    min_identity,
+)
+
+__all__ = [
+    'segment_sum_csr',
+    'segment_add_csr',
+    'segment_mean_csr',
+    'segment_min_csr',
+    'segment_max_csr',
+    'gather_csr',
+    'segment_csr',
+]
+
+
+def _check_indptr(indptr: Array):
+    if indptr.ndim != 1:
+        raise NotImplementedError(
+            'batched indptr: vmap segment_*_csr over leading axes')
+
+
+def _segment_ids(indptr: Array, num_elements: int) -> Array:
+    return indptr_to_index(indptr, num_elements)
+
+
+def _row_counts(indptr: Array) -> Array:
+    return indptr[1:] - indptr[:-1]
+
+
+# -- sum ---------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def segment_sum_csr_(src: Array, indptr: Array) -> Array:
+    num_rows = indptr.shape[0] - 1
+    ids = _segment_ids(indptr, src.shape[0])
+    out = jnp.zeros((num_rows, ) + src.shape[1:], dtype=src.dtype)
+    return out.at[ids].add(src, mode='drop', indices_are_sorted=True,
+                           unique_indices=False)
+
+
+def _sum_fwd(src, indptr):
+    return segment_sum_csr_(src, indptr), (indptr, src.shape[0])
+
+
+def _sum_bwd(res, g):
+    indptr, num_elements = res
+    # Reference backward: gather_csr(grad, indptr)
+    # (csrc/ops/autograd/segment_csr_kernel.cpp SegmentSumCSR).
+    return gather_csr_impl(g, indptr, num_elements), None
+
+
+segment_sum_csr_.defvjp(_sum_fwd, _sum_bwd)
+
+
+def segment_sum_csr(src: Array, indptr: Array,
+                    out: Optional[Array] = None) -> Array:
+    """Parity: reference ``segment_sum_csr``
+    (``pyg_lib/ops/__init__.py:634-656``). ``out`` accumulates."""
+    _check_indptr(indptr)
+    result = segment_sum_csr_(src, indptr)
+    if out is not None:
+        result = out + result
+    return result
+
+
+segment_add_csr = segment_sum_csr
+
+
+# -- mean --------------------------------------------------------------------
+
+
+def segment_mean_csr(src: Array, indptr: Array,
+                     out: Optional[Array] = None) -> Array:
+    """Mean over CSR rows; empty rows yield zero (reference
+    ``pyg_lib/ops/__init__.py:659-676``)."""
+    _check_indptr(indptr)
+    sums = segment_sum_csr_(src, indptr)
+    count = jnp.maximum(_row_counts(indptr), 1)
+    count = count.reshape((-1, ) + (1, ) * (src.ndim - 1))
+    if jnp.issubdtype(src.dtype, jnp.floating):
+        result = sums / count.astype(src.dtype)
+    else:
+        result = sums // count.astype(src.dtype)
+    if out is not None:
+        result = out + result
+    return result
+
+
+# -- min / max ---------------------------------------------------------------
+
+
+def _minmax_csr_fwd_impl(src, indptr, is_min):
+    num_rows = indptr.shape[0] - 1
+    n = src.shape[0]
+    ids = _segment_ids(indptr, n)
+    ident = min_identity(src.dtype) if is_min else max_identity(src.dtype)
+    init = jnp.full((num_rows, ) + src.shape[1:], ident, dtype=src.dtype)
+    if is_min:
+        vals = init.at[ids].min(src, mode='drop', indices_are_sorted=True)
+    else:
+        vals = init.at[ids].max(src, mode='drop', indices_are_sorted=True)
+    picked = vals[ids]
+    pos = jnp.arange(n, dtype=jnp.int32).reshape((-1, ) + (1, ) *
+                                                 (src.ndim - 1))
+    pos = jnp.broadcast_to(pos, src.shape)
+    cand = jnp.where(src == picked, pos, jnp.int32(n))
+    arg = jnp.full((num_rows, ) + src.shape[1:], jnp.int32(n)).at[ids].min(
+        cand, mode='drop', indices_are_sorted=True)
+    empty = (_row_counts(indptr) == 0).reshape((-1, ) + (1, ) *
+                                               (src.ndim - 1))
+    vals = jnp.where(empty, jnp.zeros_like(vals), vals)
+    return vals, arg
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _segment_minmax_csr(src, indptr, is_min, n):
+    return _minmax_csr_fwd_impl(src, indptr, is_min)
+
+
+def _minmax_fwd(src, indptr, is_min, n):
+    vals, arg = _minmax_csr_fwd_impl(src, indptr, is_min)
+    return (vals, arg), arg
+
+
+def _minmax_bwd(is_min, n, res, cot):
+    arg = res
+    g, _ = cot
+    gf = g.reshape(g.shape[0], -1)
+    af = arg.reshape(arg.shape[0], -1)
+    cols = jnp.broadcast_to(
+        jnp.arange(gf.shape[1], dtype=jnp.int32)[None, :], af.shape)
+    grad = jnp.zeros((n, gf.shape[1]), dtype=g.dtype)
+    grad = grad.at[af, cols].add(gf, mode='drop')
+    return grad.reshape((n, ) + g.shape[1:]), None
+
+
+_segment_minmax_csr.defvjp(_minmax_fwd, _minmax_bwd)
+
+
+def segment_min_csr(src: Array, indptr: Array,
+                    out: Optional[Array] = None) -> Tuple[Array, Array]:
+    """Parity: reference ``segment_min_csr``
+    (``pyg_lib/ops/__init__.py:679-700``)."""
+    _check_indptr(indptr)
+    vals, arg = _segment_minmax_csr(src, indptr, True, src.shape[0])
+    if out is not None:
+        nonempty = (_row_counts(indptr) > 0).reshape((-1, ) + (1, ) *
+                                                     (src.ndim - 1))
+        vals = jnp.where(nonempty, jnp.minimum(out, vals), out)
+    return vals, arg
+
+
+def segment_max_csr(src: Array, indptr: Array,
+                    out: Optional[Array] = None) -> Tuple[Array, Array]:
+    """Parity: reference ``segment_max_csr``
+    (``pyg_lib/ops/__init__.py:703-724``)."""
+    _check_indptr(indptr)
+    vals, arg = _segment_minmax_csr(src, indptr, False, src.shape[0])
+    if out is not None:
+        nonempty = (_row_counts(indptr) > 0).reshape((-1, ) + (1, ) *
+                                                     (src.ndim - 1))
+        vals = jnp.where(nonempty, jnp.maximum(out, vals), out)
+    return vals, arg
+
+
+# -- gather ------------------------------------------------------------------
+
+
+def gather_csr_impl(src: Array, indptr: Array, out_size: int) -> Array:
+    ids = _segment_ids(indptr, out_size)
+    safe = jnp.minimum(ids, src.shape[0] - 1)
+    result = jnp.take(src, safe, axis=0)
+    pad = (ids >= src.shape[0]).reshape((-1, ) + (1, ) * (src.ndim - 1))
+    return jnp.where(pad, jnp.zeros_like(result), result)
+
+
+def gather_csr(src: Array, indptr: Array, out: Optional[Array] = None,
+               out_size: Optional[int] = None) -> Array:
+    """Broadcast ``src[r]`` to positions ``[indptr[r], indptr[r+1])``
+    (reference ``pyg_lib/ops/__init__.py:727-745``).
+
+    ``out_size`` (== ``indptr[-1]``) must be given under ``jax.jit`` since
+    output shapes are static; eagerly it is inferred.
+    """
+    _check_indptr(indptr)
+    if out is not None:
+        out_size = out.shape[0]
+    if out_size is None:
+        if isinstance(indptr, jax.core.Tracer):
+            raise ValueError('gather_csr needs static out_size under jit')
+        out_size = int(jax.device_get(indptr[-1]))
+    result = gather_csr_impl(src, indptr, out_size)
+    if out is not None:
+        result = result.astype(out.dtype)
+    return result
+
+
+def segment_csr(
+    src: Array,
+    indptr: Array,
+    out: Optional[Array] = None,
+    reduce: str = 'sum',
+) -> Array:
+    """Polymorphic dispatcher (reference
+    ``pyg_lib/ops/__init__.py:816-835``)."""
+    if reduce in ('sum', 'add'):
+        return segment_sum_csr(src, indptr, out)
+    if reduce == 'mean':
+        return segment_mean_csr(src, indptr, out)
+    if reduce == 'min':
+        return segment_min_csr(src, indptr, out)[0]
+    if reduce == 'max':
+        return segment_max_csr(src, indptr, out)[0]
+    raise ValueError(f'Unknown reduce: {reduce!r}')
