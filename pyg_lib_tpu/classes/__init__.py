@@ -1,1 +1,133 @@
-"""Placeholder — populated in later build phases (SURVEY.md §7)."""
+"""Stateful host objects (counterpart of reference ``torch.classes.pyg.*``).
+
+The reference registers TorchScript classes (``csrc/classes/``); here they
+are plain picklable Python objects (SURVEY.md §7 "what we do NOT port":
+the TorchScript registry).
+"""
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from pyg_lib_tpu.sampler import hetero_neighbor_sample, neighbor_sample
+
+__all__ = ['HashMap', 'NeighborSampler', 'HeteroNeighborSampler']
+
+
+class HashMap:
+    """Persistent key -> index map for node-ID lookup / feature fetch.
+
+    Counterpart of reference ``CPUHashMap``/``CUDAHashMap``
+    (``csrc/classes/cpu/hash_map.cpp:20-171``, ``cuda/hash_map.cu:33-110``).
+    Vectorised sort + binary search instead of a pointer-chasing hash table:
+    ``get`` on m queries is O(m log n) with perfect memory streaming, which
+    beats a serial hashmap on the wide batched queries this is used for.
+    Picklable via ``keys()`` like the reference (``hash_map.cpp:265-275``).
+    """
+
+    def __init__(self, keys):
+        keys = np.asarray(keys)
+        if keys.ndim != 1:
+            raise ValueError('HashMap keys must be 1-D')
+        self._keys = keys
+        self._order = np.argsort(keys, kind='stable')
+        self._sorted = keys[self._order]
+        if len(self._sorted) > 1 and (self._sorted[1:]
+                                      == self._sorted[:-1]).any():
+            raise ValueError('HashMap keys must be unique')
+
+    def get(self, queries) -> np.ndarray:
+        """Returns the index of each query in ``keys`` (-1 if absent)."""
+        q = np.asarray(queries)
+        pos = np.searchsorted(self._sorted, q)
+        pos = np.minimum(pos, len(self._sorted) - 1)
+        if len(self._sorted) == 0:
+            return np.full(q.shape, -1, np.int64)
+        found = self._sorted[pos] == q
+        return np.where(found, self._order[pos], -1).astype(np.int64)
+
+    def keys(self) -> np.ndarray:
+        return self._keys
+
+    def __len__(self):
+        return len(self._keys)
+
+    def __getstate__(self):
+        return {'keys': self._keys}
+
+    def __setstate__(self, state):
+        self.__init__(state['keys'])
+
+
+class NeighborSampler:
+    """Stateful homogeneous sampler holding graph refs.
+
+    Counterpart of reference ``torch.classes.pyg.NeighborSampler``
+    (``csrc/classes/cpu/neighbor_sampler.cpp:16-60`` — whose ``sample()``
+    is an unimplemented stub in the reference; this one works).
+    """
+
+    def __init__(self, rowptr, col, edge_weight=None, node_time=None,
+                 edge_time=None):
+        self.rowptr = np.asarray(rowptr)
+        self.col = np.asarray(col)
+        self.edge_weight = None if edge_weight is None else np.asarray(
+            edge_weight)
+        self.node_time = None if node_time is None else np.asarray(node_time)
+        self.edge_time = None if edge_time is None else np.asarray(edge_time)
+
+    def sample(self, num_neighbors: List[int], seed, seed_time=None,
+               csc: bool = False, replace: bool = False,
+               directed: bool = True, disjoint: bool = False,
+               temporal_strategy: str = 'uniform',
+               return_edge_id: bool = True, rng=None):
+        return neighbor_sample(
+            self.rowptr, self.col, seed, num_neighbors,
+            node_time=self.node_time, edge_time=self.edge_time,
+            seed_time=seed_time, edge_weight=self.edge_weight, csc=csc,
+            replace=replace, directed=directed, disjoint=disjoint,
+            temporal_strategy=temporal_strategy,
+            return_edge_id=return_edge_id, rng=rng)
+
+
+class HeteroNeighborSampler:
+    """Stateful heterogeneous sampler constructed once with graph dicts.
+
+    Counterpart of reference ``torch.classes.pyg.HeteroNeighborSampler``
+    (``csrc/classes/cpu/neighbor_sampler.h:58-158``).  ``sample`` returns
+    the standard 6-tuple plus a per-node-type ``batch`` dict (the reference
+    additionally returns per-node batch vectors).
+    """
+
+    def __init__(self, node_types, edge_types, rowptr_dict, col_dict,
+                 node_time_dict=None, edge_time_dict=None,
+                 edge_weight_dict=None):
+        self.node_types = list(node_types)
+        self.edge_types = list(edge_types)
+        self.rowptr_dict = {k: np.asarray(v) for k, v in rowptr_dict.items()}
+        self.col_dict = {k: np.asarray(v) for k, v in col_dict.items()}
+        self.node_time_dict = node_time_dict
+        self.edge_time_dict = edge_time_dict
+        self.edge_weight_dict = edge_weight_dict
+
+    def sample(self, num_neighbors_dict, seed_dict, seed_time_dict=None,
+               csc: bool = False, replace: bool = False,
+               directed: bool = True, disjoint: bool = False,
+               temporal_strategy: str = 'uniform',
+               return_edge_id: bool = True, rng=None):
+        out = hetero_neighbor_sample(
+            self.rowptr_dict, self.col_dict, seed_dict, num_neighbors_dict,
+            node_time_dict=self.node_time_dict,
+            edge_time_dict=self.edge_time_dict,
+            seed_time_dict=seed_time_dict,
+            edge_weight_dict=self.edge_weight_dict, csc=csc, replace=replace,
+            directed=directed, disjoint=disjoint,
+            temporal_strategy=temporal_strategy,
+            return_edge_id=return_edge_id, rng=rng)
+        row, col, node_id, eid, nnph, neph = out
+        batch = None
+        if disjoint:
+            batch = {t: v[:, 0] for t, v in node_id.items()}
+            node_id = {t: v[:, 1] if v.ndim == 2 else v
+                       for t, v in node_id.items()}
+        return row, col, node_id, batch, eid, nnph, neph

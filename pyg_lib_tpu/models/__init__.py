@@ -1,1 +1,31 @@
-"""Placeholder — populated in later build phases (SURVEY.md §7)."""
+"""Reference GNN models built on pyg_lib_tpu ops.
+
+The reference library ships no models (it sits below PyG); these exist to
+(a) prove the op surface composes into the BASELINE.json milestone configs
+(Cora GCN, Reddit/ogbn-products GraphSAGE, ogbn-mag R-GCN) and (b) anchor
+the end-to-end benchmarks.  Functional style: ``init_*`` returns a param
+pytree, ``*_forward`` is a pure jittable function over a
+:class:`pyg_lib_tpu.sampler.padding.PaddedBatch`-shaped input.
+"""
+
+from pyg_lib_tpu.models.gnn import (
+    gat_forward,
+    gcn_forward,
+    init_gat,
+    init_gcn,
+    init_rgcn,
+    init_sage,
+    rgcn_forward,
+    sage_forward,
+)
+
+__all__ = [
+    'init_gcn',
+    'gcn_forward',
+    'init_sage',
+    'sage_forward',
+    'init_gat',
+    'gat_forward',
+    'init_rgcn',
+    'rgcn_forward',
+]

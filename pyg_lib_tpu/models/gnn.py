@@ -1,0 +1,197 @@
+"""Functional GNN layers/models on padded batches.
+
+All forwards take the padded-batch arrays produced by
+``pyg_lib_tpu.sampler.padding`` (static shapes: ``x [N, F]``,
+``rowptr [N+1]`` CSR over destination nodes, ``row [E]`` source local ids
+CSR-sorted by destination; pad edges sit past ``rowptr[-1]`` and are
+dropped by the segment ops).  Message passing is
+``gather(x, row) -> segment_*_csr(msgs, rowptr)`` — the canonical SpMM
+decomposition (SURVEY.md §3.3).
+"""
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from pyg_lib_tpu.ops import (
+    scatter_softmax,
+    segment_matmul,
+    segment_max_csr,
+    segment_mean_csr,
+    segment_sum_csr,
+)
+from pyg_lib_tpu.utils import Array
+
+
+def _glorot(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[-2], shape[-1]
+    limit = (6.0 / (fan_in + fan_out))**0.5
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def _gather_src(x: Array, row: Array) -> Array:
+    # Pad slots carry row == N (one past last); clip — their contribution is
+    # dropped by the CSR segment op anyway (they sit past rowptr[-1]).
+    return jnp.take(x, jnp.minimum(row, x.shape[0] - 1), axis=0)
+
+
+# -- GCN ----------------------------------------------------------------------
+
+
+def init_gcn(key, dims: List[int]) -> Dict:
+    """dims = [in, hidden..., out]; one weight+bias per layer."""
+    layers = []
+    for i in range(len(dims) - 1):
+        key, sub = jax.random.split(key)
+        layers.append({
+            'w': _glorot(sub, (dims[i], dims[i + 1])),
+            'b': jnp.zeros((dims[i + 1], )),
+        })
+    return {'layers': layers}
+
+
+def gcn_forward(params: Dict, x: Array, rowptr: Array, row: Array) -> Array:
+    """Kipf-Welling GCN with symmetric in-batch degree normalisation
+    (BASELINE.json config 1)."""
+    deg = (rowptr[1:] - rowptr[:-1]).astype(x.dtype)
+    inv_sqrt = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
+    n = x.shape[0]
+    for i, layer in enumerate(params['layers']):
+        h = jnp.dot(x, layer['w'], preferred_element_type=x.dtype)
+        msgs = _gather_src(h * inv_sqrt[:, None], row)
+        agg = segment_sum_csr(msgs, rowptr)[:n]
+        x = agg * inv_sqrt[:, None] + h * inv_sqrt[:, None]**2 + layer['b']
+        if i < len(params['layers']) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+# -- GraphSAGE ----------------------------------------------------------------
+
+
+def init_sage(key, dims: List[int]) -> Dict:
+    layers = []
+    for i in range(len(dims) - 1):
+        key, k1, k2 = jax.random.split(key, 3)
+        layers.append({
+            'w_self': _glorot(k1, (dims[i], dims[i + 1])),
+            'w_nbr': _glorot(k2, (dims[i], dims[i + 1])),
+            'b': jnp.zeros((dims[i + 1], )),
+        })
+    return {'layers': layers}
+
+
+def sage_forward(params: Dict, x: Array, rowptr: Array, row: Array,
+                 aggr: str = 'mean') -> Array:
+    """GraphSAGE (mean or max aggregator) — BASELINE.json configs 2/3."""
+    n = x.shape[0]
+    for i, layer in enumerate(params['layers']):
+        msgs = _gather_src(x, row)
+        if aggr == 'mean':
+            agg = segment_mean_csr(msgs, rowptr)[:n]
+        elif aggr == 'max':
+            agg = segment_max_csr(msgs, rowptr)[0][:n]
+        else:
+            raise ValueError(f'Unknown aggr: {aggr!r}')
+        x = (jnp.dot(x, layer['w_self'], preferred_element_type=x.dtype) +
+             jnp.dot(agg, layer['w_nbr'], preferred_element_type=x.dtype) +
+             layer['b'])
+        if i < len(params['layers']) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+# -- GAT ----------------------------------------------------------------------
+
+
+def init_gat(key, dims: List[int], heads: int = 4) -> Dict:
+    layers = []
+    for i in range(len(dims) - 1):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        out = dims[i + 1]
+        # Hidden layers concatenate heads, so layer i>0 consumes H*dims[i].
+        in_dim = dims[i] if i == 0 else heads * dims[i]
+        layers.append({
+            'w': _glorot(k1, (in_dim, heads * out)),
+            'att_src': _glorot(k2, (1, heads, out)),
+            'att_dst': _glorot(k3, (1, heads, out)),
+            'b': jnp.zeros((out * heads if i < len(dims) - 2 else out, )),
+        })
+    return {'layers': layers, 'heads': heads}
+
+
+def gat_forward(params: Dict, x: Array, rowptr: Array, row: Array,
+                col: Array) -> Array:
+    """Graph attention with per-destination softmax over incoming edges
+    (uses ``scatter_softmax``; pad edges carry ``col == N`` and are
+    dropped)."""
+    heads = params['heads']
+    n = x.shape[0]
+    num_layers = len(params['layers'])
+    for i, layer in enumerate(params['layers']):
+        out_dim = layer['att_src'].shape[-1]
+        h = jnp.dot(x, layer['w'],
+                    preferred_element_type=x.dtype).reshape(n, heads, out_dim)
+        a_src = (h * layer['att_src']).sum(-1)  # [N, H]
+        a_dst = (h * layer['att_dst']).sum(-1)
+        src = jnp.minimum(row, n - 1)
+        dst = jnp.minimum(col, n - 1)
+        logits = jax.nn.leaky_relu(a_src[src] + a_dst[dst], 0.2)  # [E, H]
+        # mask pad edges to -inf so they get zero attention
+        pad = (col >= n)[:, None]
+        logits = jnp.where(pad, -jnp.inf, logits)
+        alpha = scatter_softmax(logits, dst, dim=0, dim_size=n)  # [E, H]
+        alpha = jnp.where(pad, 0.0, alpha)
+        msgs = h[src] * alpha[:, :, None]  # [E, H, D]
+        agg = segment_sum_csr(msgs.reshape(msgs.shape[0], -1),
+                              rowptr)[:n].reshape(n, heads, out_dim)
+        if i < num_layers - 1:
+            x = jax.nn.elu(agg.reshape(n, heads * out_dim) + layer['b'])
+        else:
+            x = agg.mean(axis=1) + layer['b']
+    return x
+
+
+# -- R-GCN --------------------------------------------------------------------
+
+
+def init_rgcn(key, dims: List[int], num_relations: int) -> Dict:
+    """Relational GCN: one weight per (layer, relation) + a root weight
+    (BASELINE.json config 4: ogbn-mag)."""
+    layers = []
+    for i in range(len(dims) - 1):
+        key, k1, k2 = jax.random.split(key, 3)
+        layers.append({
+            'w_rel': _glorot(k1, (num_relations, dims[i], dims[i + 1])),
+            'w_root': _glorot(k2, (dims[i], dims[i + 1])),
+            'b': jnp.zeros((dims[i + 1], )),
+        })
+    return {'layers': layers}
+
+
+def rgcn_forward(params: Dict, x: Array, row: Array, col: Array,
+                 rel_ptr: Array) -> Array:
+    """R-GCN over a batch whose edges are grouped (sorted) by relation type.
+
+    ``rel_ptr [R+1]`` bounds each relation's contiguous edge range (the
+    hetero sampler emits per-edge-type blocks; ``segment_matmul`` applies
+    the per-relation transform in one ragged GEMM — the reference's hetero
+    hot path, SURVEY.md §3.2).  Because edges are relation-sorted (not
+    destination-sorted), aggregation uses an unsorted scatter-mean over
+    ``col``; pad edges carry ``col == N`` and are dropped.
+    """
+    from pyg_lib_tpu.ops import scatter_mean
+
+    n = x.shape[0]
+    for i, layer in enumerate(params['layers']):
+        msgs = _gather_src(x, row)  # [E, F_in]
+        transformed = segment_matmul(msgs, rel_ptr, layer['w_rel'])
+        agg = scatter_mean(transformed, jnp.minimum(col, n), dim=0,
+                           dim_size=n + 1)[:n]
+        x = (agg +
+             jnp.dot(x, layer['w_root'], preferred_element_type=x.dtype) +
+             layer['b'])
+        if i < len(params['layers']) - 1:
+            x = jax.nn.relu(x)
+    return x

@@ -61,9 +61,28 @@ def _row_counts(indptr: Array) -> Array:
 # -- sum ---------------------------------------------------------------------
 
 
+def _use_pallas(src: Array, num_rows: int) -> bool:
+    import os
+
+    if os.environ.get('PYGT_DISABLE_PALLAS'):
+        return False
+    if jax.default_backend() != 'tpu':
+        return False
+    if src.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    from pyg_lib_tpu.ops.pallas.segment_csr_kernel import pallas_supported
+
+    return pallas_supported(src.shape, num_rows)
+
+
 @jax.custom_vjp
 def segment_sum_csr_(src: Array, indptr: Array) -> Array:
     num_rows = indptr.shape[0] - 1
+    if _use_pallas(src, num_rows):
+        from pyg_lib_tpu.ops.pallas.segment_csr_kernel import (
+            segment_sum_csr_pallas, )
+
+        return segment_sum_csr_pallas(src, indptr)
     ids = _segment_ids(indptr, src.shape[0])
     out = jnp.zeros((num_rows, ) + src.shape[1:], dtype=src.dtype)
     return out.at[ids].add(src, mode='drop', indices_are_sorted=True,

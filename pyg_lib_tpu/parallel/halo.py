@@ -1,0 +1,60 @@
+"""Edge-partitioned aggregation with halo feature exchange.
+
+Replaces the reference ecosystem's RPC-based remote feature fetch
+(SURVEY.md §3.5: PyG's torch_geometric.distributed does TensorPipe RPC per
+partition) with device collectives over ICI inside ``shard_map``.
+
+Partition layout (produced by ``pyg_lib_tpu.partition.mesh_edge_partition``):
+
+* nodes are range-partitioned: device ``i`` owns rows
+  ``[i*N/D, (i+1)*N/D)`` of the feature matrix ``x`` (sharded ``P(axis)``),
+* each device owns the edges whose DESTINATION falls in its node shard,
+  as a local CSR (``rowptr [N/D+1]`` over local destinations, ``src [E_i]``
+  global source ids, padded to a common ``E_max`` per device).
+
+v1 exchange strategy: ``all_gather`` of the source features over the axis
+(full halo) followed by local gather + ``segment_sum_csr``.  This is the
+correct baseline; the ring/`ppermute` overlap variant (SURVEY.md §7 hard
+part 4) plugs in behind the same signature.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pyg_lib_tpu.ops import segment_sum_csr
+
+__all__ = ['halo_exchange_aggregate']
+
+
+def halo_exchange_aggregate(mesh: Mesh, x, src_ids, rowptr,
+                            axis: str = 'data'):
+    """Computes per-destination sums of source features across an
+    edge-partitioned graph.
+
+    Args:
+        mesh: device mesh containing ``axis``.
+        x: ``[N, F]`` node features, sharded ``P(axis, None)``.
+        src_ids: ``[D, E_max]`` per-device global source ids (row ``i`` for
+            device ``i``; pad slots must point past ``rowptr[-1]``),
+            sharded ``P(axis, None)``.
+        rowptr: ``[D, N/D + 1]`` per-device local CSR pointers, sharded
+            ``P(axis, None)``.
+
+    Returns:
+        ``[N, F]`` aggregated features, sharded like ``x``.
+    """
+
+    def local(x_shard, src_shard, rowptr_shard):
+        # Halo: fetch all source features over ICI (v1: full all-gather).
+        xg = jax.lax.all_gather(x_shard, axis, axis=0, tiled=True)  # [N, F]
+        src = src_shard[0]
+        msgs = jnp.take(xg, jnp.minimum(src, xg.shape[0] - 1), axis=0)
+        return segment_sum_csr(msgs, rowptr_shard[0])
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=P(axis, None))(x, src_ids, rowptr)

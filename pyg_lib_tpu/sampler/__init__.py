@@ -1,1 +1,197 @@
-"""Placeholder — populated in later build phases (SURVEY.md §7)."""
+"""Host-side graph sampling (counterpart of reference ``pyg_lib.sampler``).
+
+Samplers run on the host (SURVEY.md §7 design stance #2: the per-neighbor
+hashmap hot loop belongs on CPU), emitting numpy arrays; use
+``pyg_lib_tpu.sampler.padding`` to produce fixed-shape device batches that
+never retrace a jitted step function.
+
+All entry points take ``rng``/``seed`` for reproducibility (the reference
+inherits ATen's global RNG; we use explicit counters — SURVEY.md §7 hard
+part 3).  A C++ fast path (``pyg_lib_tpu/csrc``) accelerates the hot loops
+when built; the numpy implementation is the always-available specification.
+"""
+
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from pyg_lib_tpu.sampler import padding
+from pyg_lib_tpu.sampler._hetero_impl import hetero_neighbor_sample_np
+from pyg_lib_tpu.sampler._numpy_impl import neighbor_sample_np
+from pyg_lib_tpu.sampler.dist import (
+    dist_neighbor_sample,
+    hetero_relabel_neighborhood,
+    merge_sampler_outputs,
+    relabel_neighborhood,
+)
+
+NodeType = str
+RelType = str
+EdgeType = Tuple[str, str, str]
+
+__all__ = [
+    'neighbor_sample',
+    'hetero_neighbor_sample',
+    'subgraph',
+    'random_walk',
+    'dist_neighbor_sample',
+    'merge_sampler_outputs',
+    'relabel_neighborhood',
+    'hetero_relabel_neighborhood',
+    'padding',
+]
+
+
+def _np(x):
+    return None if x is None else np.asarray(x)
+
+
+def _rng(rng: Union[None, int, np.random.Generator]) -> np.random.Generator:
+    if isinstance(rng, np.random.Generator):
+        return rng
+    return np.random.default_rng(rng)
+
+
+def neighbor_sample(
+    rowptr,
+    col,
+    seed,
+    num_neighbors: List[int],
+    node_time=None,
+    edge_time=None,
+    seed_time=None,
+    edge_weight=None,
+    csc: bool = False,
+    replace: bool = False,
+    directed: bool = True,
+    disjoint: bool = False,
+    temporal_strategy: str = 'uniform',
+    return_edge_id: bool = True,
+    rng: Union[None, int, np.random.Generator] = None,
+):
+    """Recursively samples neighbors from ``seed`` in the CSR graph
+    ``(rowptr, col)``.
+
+    Parity: reference ``pyg_lib.sampler.neighbor_sample``
+    (``pyg_lib/sampler/__init__.py:11-100``).  Returns
+    ``(row, col, node_id, edge_id?, num_sampled_nodes_per_hop,
+    num_sampled_edges_per_hop)`` with local (relabelled) row/col ids; in
+    disjoint mode ``node_id`` has shape ``[N, 2]`` carrying
+    ``(batch, node)`` pairs.  Extra ``rng`` arg fixes the random stream.
+    """
+    return neighbor_sample_np(
+        _np(rowptr), _np(col), _np(seed), list(num_neighbors),
+        node_time=_np(node_time), edge_time=_np(edge_time),
+        seed_time=_np(seed_time), edge_weight=_np(edge_weight), csc=csc,
+        replace=replace, directed=directed, disjoint=disjoint,
+        temporal_strategy=temporal_strategy, return_edge_id=return_edge_id,
+        rng=_rng(rng))
+
+
+def hetero_neighbor_sample(
+    rowptr_dict: Dict[EdgeType, np.ndarray],
+    col_dict: Dict[EdgeType, np.ndarray],
+    seed_dict: Dict[NodeType, np.ndarray],
+    num_neighbors_dict: Dict[EdgeType, List[int]],
+    node_time_dict: Optional[Dict[NodeType, np.ndarray]] = None,
+    edge_time_dict: Optional[Dict[EdgeType, np.ndarray]] = None,
+    seed_time_dict: Optional[Dict[NodeType, np.ndarray]] = None,
+    edge_weight_dict: Optional[Dict[EdgeType, np.ndarray]] = None,
+    csc: bool = False,
+    replace: bool = False,
+    directed: bool = True,
+    disjoint: bool = False,
+    temporal_strategy: str = 'uniform',
+    return_edge_id: bool = True,
+    rng: Union[None, int, np.random.Generator] = None,
+):
+    """Heterogeneous multi-hop neighbor sampling over per-edge-type CSR
+    graphs.
+
+    Parity: reference ``pyg_lib.sampler.hetero_neighbor_sample``
+    (``pyg_lib/sampler/__init__.py:103-201``); dict keys are edge-type
+    triples ``(src, rel, dst)`` directly (no ``"src__rel__dst"`` string
+    mangling — that reference detail exists only because TorchScript cannot
+    key dicts by tuples, ``csrc/utils/types.h:6-13``).
+    """
+    conv = lambda d: None if d is None else {k: _np(v) for k, v in d.items()}
+    return hetero_neighbor_sample_np(
+        conv(rowptr_dict), conv(col_dict), conv(seed_dict),
+        {k: list(v) for k, v in num_neighbors_dict.items()},
+        node_time_dict=conv(node_time_dict),
+        edge_time_dict=conv(edge_time_dict),
+        seed_time_dict=conv(seed_time_dict),
+        edge_weight_dict=conv(edge_weight_dict), csc=csc, replace=replace,
+        directed=directed, disjoint=disjoint,
+        temporal_strategy=temporal_strategy, return_edge_id=return_edge_id,
+        rng=_rng(rng))
+
+
+def subgraph(
+    rowptr,
+    col,
+    nodes,
+    return_edge_id: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Induced subgraph on ``nodes``; returns local CSR
+    ``(rowptr, col, edge_id?)``.
+
+    Parity: reference ``pyg_lib.sampler.subgraph``
+    (``pyg_lib/sampler/__init__.py:203-225``; two-pass kernel
+    ``csrc/sampler/cpu/subgraph_kernel.cpp:13-89``).
+    """
+    rowptr, col, nodes = _np(rowptr), _np(col), _np(nodes)
+    n_out = len(nodes)
+    local = {int(v): i for i, v in enumerate(nodes.tolist())}
+    out_rowptr = np.zeros(n_out + 1, dtype=rowptr.dtype)
+    out_cols: List[int] = []
+    out_eids: List[int] = []
+    for i, v in enumerate(nodes.tolist()):
+        for e in range(int(rowptr[v]), int(rowptr[v + 1])):
+            w = local.get(int(col[e]))
+            if w is not None:
+                out_cols.append(w)
+                if return_edge_id:
+                    out_eids.append(e)
+        out_rowptr[i + 1] = len(out_cols)
+    out_col = np.asarray(out_cols, dtype=col.dtype)
+    out_eid = (np.asarray(out_eids, np.int64) if return_edge_id else None)
+    return out_rowptr, out_col, out_eid
+
+
+def random_walk(
+    rowptr,
+    col,
+    seed,
+    walk_length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    rng: Union[None, int, np.random.Generator] = None,
+) -> np.ndarray:
+    """Uniform random walks of length ``walk_length`` from each seed.
+
+    Parity: reference ``pyg_lib.sampler.random_walk``
+    (``pyg_lib/sampler/__init__.py:228-254``; CPU kernel
+    ``csrc/sampler/cpu/random_walk_kernel.cpp:12-51``).  Like the
+    reference, only ``p = q = 1`` is supported; a dead-end node repeats
+    itself for the rest of the walk.
+    """
+    if p != 1.0 or q != 1.0:
+        raise ValueError('Only p=1, q=1 supported')
+    rowptr, col, seed = _np(rowptr), _np(col), _np(seed)
+    gen = _rng(rng)
+    n_seed = len(seed)
+    out = np.empty((n_seed, walk_length + 1), dtype=np.int64)
+    out[:, 0] = seed
+    cur = seed.astype(np.int64).copy()
+    for step in range(1, walk_length + 1):
+        deg = rowptr[cur + 1] - rowptr[cur]
+        has = deg > 0
+        offs = np.zeros_like(cur)
+        if has.any():
+            offs[has] = gen.integers(0, deg[has])
+        nxt = np.where(has, col[np.minimum(rowptr[cur] + offs,
+                                           len(col) - 1)], cur)
+        out[:, step] = nxt
+        cur = nxt
+    return out

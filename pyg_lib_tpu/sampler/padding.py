@@ -1,0 +1,149 @@
+"""Padding / bucketing: ragged sampler output -> fixed-shape device batches.
+
+This is the TPU-specific subsystem the reference does not need (its ATen
+ops tolerate dynamic shapes; XLA does not — SURVEY.md §7 hard part 1).
+Contracts:
+
+* Budgets are static upper bounds; exceeding one raises
+  :class:`BudgetExceeded` so the caller can re-bucket (edges are NEVER
+  silently dropped).
+* Padded edge slots are encoded so masked segment ops treat them as
+  empty buckets: the padded CSR ``rowptr[-1]`` equals the true edge count,
+  so ``segment_*_csr`` drops trailing pad positions; COO pad slots carry
+  ``index == num_nodes`` (one-past-last bucket) and are dropped by
+  ``mode='drop'`` scatters.
+* Node padding repeats node 0 with ``node_mask`` False; masked rows must be
+  excluded from losses by the caller.
+"""
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    'BudgetExceeded',
+    'PaddedBatch',
+    'budget_for',
+    'pad_sample_output',
+    'to_padded_csr',
+]
+
+
+class BudgetExceeded(ValueError):
+    """Raised when a sample exceeds its static padding budget; the caller
+    should retry with the next bucket size (never drop edges)."""
+
+
+def budget_for(num_seeds: int, fanouts: List[int],
+               slack: float = 1.0) -> Tuple[int, int]:
+    """Worst-case (max_nodes, max_edges) for ``num_seeds`` seeds and the
+    given per-hop fanouts (entries must be >= 0)."""
+    if any(f < 0 for f in fanouts):
+        raise ValueError('budget_for needs non-negative fanouts')
+    nodes, frontier, edges = num_seeds, num_seeds, 0
+    for f in fanouts:
+        frontier *= f
+        nodes += frontier
+        edges += frontier
+    return (int(math.ceil(nodes * slack)), int(math.ceil(edges * slack)))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class PaddedBatch:
+    """Fixed-shape mini-batch, ready for a jitted step function.
+
+    ``row``/``col`` are local ids into ``node_id``; pad edge slots have
+    ``row == col == num_nodes`` (one-past-last local id).  ``rowptr`` is
+    the padded-CSR pointer over ``col``-sorted edges (shape
+    ``[max_nodes+1]``, ``rowptr[-1] == num_edges``) for
+    ``segment_*_csr`` aggregation of incoming edges per destination node.
+    """
+    node_id: np.ndarray  # [max_nodes] int, padded with 0
+    batch: Optional[np.ndarray]  # [max_nodes] int (disjoint) or None
+    row: np.ndarray  # [max_edges] int (src local id, CSR-sorted by dst)
+    col: np.ndarray  # [max_edges] int (dst local id, sorted)
+    edge_id: Optional[np.ndarray]  # [max_edges] int or None
+    rowptr: np.ndarray  # [max_nodes+1] int
+    node_mask: np.ndarray  # [max_nodes] bool
+    edge_mask: np.ndarray  # [max_edges] bool
+    num_nodes: int
+    num_edges: int
+    num_sampled_nodes_per_hop: List[int]
+    num_sampled_edges_per_hop: List[int]
+    num_seeds: int
+
+
+def to_padded_csr(row: np.ndarray, col: np.ndarray, num_nodes: int,
+                  max_nodes: int, max_edges: int,
+                  edge_id: Optional[np.ndarray] = None):
+    """Sorts edges by ``col`` (destination) and emits a padded CSR over
+    destinations: ``rowptr [max_nodes+1]``, permuted ``row``/``edge_id``.
+
+    Pad slots (positions >= len(col)) get src/dst ``max_nodes`` so any
+    direct COO use also drops them.
+    """
+    e = len(col)
+    if e > max_edges:
+        raise BudgetExceeded(f'{e} edges > budget {max_edges}')
+    if num_nodes > max_nodes:
+        raise BudgetExceeded(f'{num_nodes} nodes > budget {max_nodes}')
+    perm = np.argsort(col, kind='stable')
+    sorted_col = col[perm]
+    counts = np.bincount(sorted_col, minlength=max_nodes)
+    rowptr = np.zeros(max_nodes + 1, np.int32)
+    rowptr[1:] = np.cumsum(counts)
+    out_row = np.full(max_edges, max_nodes, np.int32)
+    out_col = np.full(max_edges, max_nodes, np.int32)
+    out_row[:e] = row[perm]
+    out_col[:e] = sorted_col
+    out_eid = None
+    if edge_id is not None:
+        out_eid = np.full(max_edges, -1, np.int64)
+        out_eid[:e] = edge_id[perm]
+    return rowptr, out_row, out_col, out_eid
+
+
+def pad_sample_output(sample_out, max_nodes: int, max_edges: int,
+                      num_seeds: int,
+                      disjoint: bool = False) -> PaddedBatch:
+    """Pads the output tuple of
+    :func:`pyg_lib_tpu.sampler.neighbor_sample` to static shapes."""
+    row, col, node_id, edge_id, nnph, neph = sample_out
+    if disjoint:
+        batch = node_id[:, 0].astype(np.int32)
+        nodes = node_id[:, 1]
+    else:
+        batch = None
+        nodes = node_id
+    n, e = len(nodes), len(row)
+    if n > max_nodes:
+        raise BudgetExceeded(f'{n} nodes > budget {max_nodes}')
+    if e > max_edges:
+        raise BudgetExceeded(f'{e} edges > budget {max_edges}')
+
+    node_id_p = np.zeros(max_nodes, dtype=np.int64)
+    node_id_p[:n] = nodes
+    node_mask = np.zeros(max_nodes, bool)
+    node_mask[:n] = True
+    batch_p = None
+    if batch is not None:
+        batch_p = np.full(max_nodes, -1, np.int32)
+        batch_p[:n] = batch
+
+    rowptr, row_p, col_p, eid_p = to_padded_csr(
+        np.asarray(row), np.asarray(col), n, max_nodes, max_edges, edge_id)
+    edge_mask = np.zeros(max_edges, bool)
+    edge_mask[:e] = True
+
+    return PaddedBatch(
+        node_id=node_id_p, batch=batch_p, row=row_p, col=col_p,
+        edge_id=eid_p, rowptr=rowptr, node_mask=node_mask,
+        edge_mask=edge_mask, num_nodes=n, num_edges=e,
+        num_sampled_nodes_per_hop=list(nnph),
+        num_sampled_edges_per_hop=list(neph), num_seeds=num_seeds)
