@@ -68,6 +68,7 @@ def neighbor_sample(
     temporal_strategy: str = 'uniform',
     return_edge_id: bool = True,
     rng: Union[None, int, np.random.Generator] = None,
+    impl: str = 'auto',
 ):
     """Recursively samples neighbors from ``seed`` in the CSR graph
     ``(rowptr, col)``.
@@ -77,8 +78,46 @@ def neighbor_sample(
     ``(row, col, node_id, edge_id?, num_sampled_nodes_per_hop,
     num_sampled_edges_per_hop)`` with local (relabelled) row/col ids; in
     disjoint mode ``node_id`` has shape ``[N, 2]`` carrying
-    ``(batch, node)`` pairs.  Extra ``rng`` arg fixes the random stream.
+    ``(batch, node)`` pairs.  Extra ``rng`` arg fixes the random stream;
+    ``impl`` selects 'cpp' (native fast path), 'numpy' (specification), or
+    'auto' (cpp when built and ``rng`` is not a Generator).
     """
+    # Shared argument validation (reference checks,
+    # csrc/sampler/cpu/neighbor_kernel.cpp:355-381).
+    if (node_time is not None or edge_time is not None) and not disjoint:
+        raise ValueError(
+            'Temporal sampling needs to create disjoint subgraphs')
+    if node_time is not None and edge_time is not None:
+        raise ValueError(
+            'Only one of node-level or edge-level sampling is supported')
+    if edge_time is not None and seed_time is None:
+        raise ValueError('Seed time needs to be specified')
+    if temporal_strategy not in ('uniform', 'last'):
+        raise ValueError('No valid temporal strategy found')
+    if edge_weight is not None and (node_time is not None
+                                    or edge_time is not None):
+        raise ValueError('Biased temporal sampling not yet supported')
+    if not directed:
+        raise NotImplementedError('Undirected subgraphs not yet supported')
+
+    use_cpp = False
+    if impl == 'cpp':
+        use_cpp = True
+    elif impl == 'auto':
+        from pyg_lib_tpu.sampler import _cpp
+        use_cpp = (directed and not isinstance(rng, np.random.Generator)
+                   and _cpp.get_lib() is not None)
+    if use_cpp:
+        from pyg_lib_tpu.sampler._cpp import neighbor_sample_cpp
+        seed_int = rng if isinstance(rng, int) else int(
+            np.random.default_rng(rng).integers(2**63))
+        return neighbor_sample_cpp(
+            _np(rowptr), _np(col), _np(seed), list(num_neighbors),
+            node_time=_np(node_time), edge_time=_np(edge_time),
+            seed_time=_np(seed_time), edge_weight=_np(edge_weight),
+            csc=csc, replace=replace, disjoint=disjoint,
+            temporal_strategy=temporal_strategy,
+            return_edge_id=return_edge_id, rng_seed=seed_int)
     return neighbor_sample_np(
         _np(rowptr), _np(col), _np(seed), list(num_neighbors),
         node_time=_np(node_time), edge_time=_np(edge_time),
