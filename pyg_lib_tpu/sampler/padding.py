@@ -25,8 +25,10 @@ import numpy as np
 __all__ = [
     'BudgetExceeded',
     'PaddedBatch',
+    'PaddedHeteroBatch',
     'budget_for',
     'pad_sample_output',
+    'pad_hetero_sample_output',
     'to_padded_csr',
 ]
 
@@ -107,6 +109,109 @@ def to_padded_csr(row: np.ndarray, col: np.ndarray, num_nodes: int,
         out_eid = np.full(max_edges, -1, np.int64)
         out_eid[:e] = edge_id[perm]
     return rowptr, out_row, out_col, out_eid
+
+
+@dataclass
+class PaddedHeteroBatch:
+    """Fixed-shape heterogeneous mini-batch in the flattened R-GCN layout.
+
+    Node types are packed into one flat local id space: type ``t`` occupies
+    locals ``[type_offset[t], type_offset[t] + type_budget[t])`` (actual
+    nodes first, then padding).  Edges are concatenated by edge type
+    (relation); ``rel_ptr [R+1]`` bounds each relation's block — exactly
+    what :func:`pyg_lib_tpu.models.rgcn_forward` +
+    :func:`pyg_lib_tpu.ops.segment_matmul` consume.  Pad edges carry
+    ``row == col == num_flat_nodes``.
+    """
+    node_id: dict  # type -> [budget_t] global ids (padded with 0)
+    node_mask: dict  # type -> [budget_t] bool
+    batch: dict  # type -> [budget_t] int32 or None
+    type_offset: dict  # type -> int
+    edge_types: list  # ordered relations
+    row: np.ndarray  # [max_edges] flat src local ids (relation-sorted)
+    col: np.ndarray  # [max_edges] flat dst local ids
+    edge_id: Optional[np.ndarray]
+    rel_ptr: np.ndarray  # [R+1]
+    edge_mask: np.ndarray
+    num_flat_nodes: int
+    num_edges: int
+
+
+def pad_hetero_sample_output(sample_out, node_budgets, max_edges: int,
+                             csc: bool = False,
+                             disjoint: bool = False) -> PaddedHeteroBatch:
+    """Pads the output of :func:`pyg_lib_tpu.sampler.hetero_neighbor_sample`
+    into the flattened relation-blocked layout for R-GCN-style models.
+
+    Args:
+        sample_out: the 6-tuple from ``hetero_neighbor_sample``.
+        node_budgets: dict node type -> static budget.
+        max_edges: static total edge budget (all relations combined).
+    """
+    row_d, col_d, node_d, eid_d, _, _ = sample_out
+    edge_types = list(row_d.keys())
+    src_of = (lambda k: k[0]) if not csc else (lambda k: k[2])
+    dst_of = (lambda k: k[2]) if not csc else (lambda k: k[0])
+
+    type_offset, off = {}, 0
+    node_id, node_mask, batch = {}, {}, {}
+    for t, budget in node_budgets.items():
+        ids = node_d.get(t)
+        if ids is None:
+            ids = np.zeros((0, 2) if disjoint else (0, ), np.int64)
+        n = len(ids)
+        if n > budget:
+            raise BudgetExceeded(f'{n} {t!r} nodes > budget {budget}')
+        nid = np.zeros(budget, np.int64)
+        bt = None
+        if disjoint:
+            nid[:n] = ids[:, 1]
+            bt = np.full(budget, -1, np.int32)
+            bt[:n] = ids[:, 0]
+        else:
+            nid[:n] = ids
+        mask = np.zeros(budget, bool)
+        mask[:n] = True
+        node_id[t], node_mask[t], batch[t] = nid, mask, bt
+        type_offset[t] = off
+        off += budget
+    num_flat = off
+
+    rows, cols, eids = [], [], []
+    rel_ptr = [0]
+    for k in edge_types:
+        src, dst = src_of(k), dst_of(k)
+        if src not in type_offset or dst not in type_offset:
+            raise ValueError(f'missing node budget for edge type {k}')
+        # row_d is already (row, col) in caller orientation; flat-offset it.
+        r = np.asarray(row_d[k]) + type_offset[src if not csc else dst]
+        c = np.asarray(col_d[k]) + type_offset[dst if not csc else src]
+        rows.append(r)
+        cols.append(c)
+        if eid_d is not None:
+            eids.append(np.asarray(eid_d[k]))
+        rel_ptr.append(rel_ptr[-1] + len(r))
+    e = rel_ptr[-1]
+    if e > max_edges:
+        raise BudgetExceeded(f'{e} edges > budget {max_edges}')
+    row = np.full(max_edges, num_flat, np.int32)
+    col = np.full(max_edges, num_flat, np.int32)
+    row[:e] = np.concatenate(rows) if rows else []
+    col[:e] = np.concatenate(cols) if cols else []
+    eid = None
+    if eid_d is not None:
+        eid = np.full(max_edges, -1, np.int64)
+        if eids:
+            eid[:e] = np.concatenate(eids)
+    edge_mask = np.zeros(max_edges, bool)
+    edge_mask[:e] = True
+    # Final rel_ptr entry covers the pad block so segment_matmul sees a
+    # ptr[-1] == real edge count (pad rows produce zero output rows).
+    return PaddedHeteroBatch(
+        node_id=node_id, node_mask=node_mask, batch=batch,
+        type_offset=type_offset, edge_types=edge_types, row=row, col=col,
+        edge_id=eid, rel_ptr=np.asarray(rel_ptr, np.int32),
+        edge_mask=edge_mask, num_flat_nodes=num_flat, num_edges=e)
 
 
 def pad_sample_output(sample_out, max_nodes: int, max_edges: int,
