@@ -1,13 +1,15 @@
-"""Headline benchmark: segment-CSR SpMM aggregation bandwidth on one chip.
+"""Headline benchmark: planned SpMM (fused GNN aggregation) on one chip.
 
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}``.
 
 The metric is the BASELINE.json headline — SpMM (gather + segment-sum-CSR
-message passing) sustained HBM bandwidth vs the per-chip roofline.
-``vs_baseline`` is the fraction of the chip's HBM roofline achieved
-(the reference publishes no numbers — BASELINE.md — so roofline fraction
-is the agreed denominator).
+message passing, ``pyg_lib_tpu.ops.spmm``) *effective* bandwidth: useful
+bytes (x rows read once per edge + col indices + output write) divided by
+steady-state wall time, on a mean-degree-16 random graph with hidden width
+512 (a typical GraphSAGE/GAT hidden size).  ``vs_baseline`` is the fraction
+of the chip's HBM roofline achieved (the reference publishes no numbers —
+BASELINE.md — so roofline fraction is the agreed denominator).
 """
 
 import json
@@ -40,8 +42,8 @@ def main():
 
     dev = jax.devices()[0]
 
-    # Synthetic power-law-ish graph: N nodes, E edges, F features.
-    n, e, f = 262_144, 4_194_304, 128
+    # Synthetic graph: N nodes, E edges (mean degree 16), F features.
+    n, e, f = 262_144, 4_194_304, 512
     rng = np.random.default_rng(0)
     deg = rng.integers(0, 2 * e // n, size=n)
     deg = (deg * (e / max(deg.sum(), 1))).astype(np.int64)
@@ -51,12 +53,7 @@ def main():
     col = rng.integers(0, n, size=e_actual).astype(np.int32)
 
     x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
-    rp = jnp.asarray(rowptr)
-    cl = jnp.asarray(col)
-
-    def spmm(x):
-        msgs = jnp.take(x, cl, axis=0)
-        return ops.segment_sum_csr(msgs, rp)
+    graph = ops.build_spmm_graph(rowptr, col)  # one-time host plan
 
     iters = 16
 
@@ -66,7 +63,7 @@ def main():
     @jax.jit
     def loop(x):
         def body(_, x):
-            return spmm(x) * 1e-6 + x
+            return ops.spmm(x, graph) * 1e-6 + x
 
         return jax.lax.fori_loop(0, iters, body, x).sum()
 
@@ -75,15 +72,13 @@ def main():
     s = float(loop(x))
     elapsed = (time.perf_counter() - start - 0.030) / iters
 
-    # Bytes: gather reads E*F*4 (+ index E*4), writes E*F*4 intermediate is
-    # fused away in the ideal case; count the roofline-relevant traffic:
-    # read x rows once per edge + write N*F out.
+    # Useful bytes: one x row per edge + col indices + output write.
     bytes_moved = e_actual * f * 4 + e_actual * 4 + n * f * 4
     gbps = bytes_moved / elapsed / 1e9
     roof = _roofline(dev)
 
     print(json.dumps({
-        'metric': 'spmm_segment_csr_bandwidth',
+        'metric': 'spmm_effective_bandwidth',
         'value': round(gbps, 2),
         'unit': 'GB/s',
         'vs_baseline': round(gbps / roof, 4),

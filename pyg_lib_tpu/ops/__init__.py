@@ -55,8 +55,12 @@ from pyg_lib_tpu.ops.segment_csr import (
 )
 from pyg_lib_tpu.ops.softmax import softmax_csr
 from pyg_lib_tpu.ops.spline import spline_basis, spline_weighting
+from pyg_lib_tpu.ops.spmm import SpmmGraph, build_spmm_graph, spmm
 
 __all__ = [
+    'spmm',
+    'build_spmm_graph',
+    'SpmmGraph',
     'grouped_matmul',
     'segment_matmul',
     'sampled_add',

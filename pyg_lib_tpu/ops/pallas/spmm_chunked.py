@@ -1,0 +1,231 @@
+"""Chunked segment-sum Pallas kernel + SpMM plan — the hot aggregation path.
+
+TPU-native replacement for the reference's CSR reduction kernels
+(reference ``pyg_lib/csrc/ops/cpu/segment_csr_kernel.cpp:31-155`` and the
+CUDA warp-per-row kernels ``csrc/ops/cuda/segment_csr_kernel.cu:17-76``)
+specialised for the message-passing hot loop (SURVEY.md §3.3).
+
+Why a second kernel next to ``segment_csr_kernel``: the manual
+double-buffered kernel drains its DMA pipeline at every output-tile
+boundary (measured 26% of stream bandwidth on a mean-degree-16 graph).
+This kernel instead uses Pallas's *automatic* grid pipelining, which
+prefetches the next message block during compute with no per-tile drain:
+
+* Host-side ``build_spmm_plan`` pads each output tile's edge list to a
+  multiple of ``CHUNK`` (MEGABLOCKS-style chunked-ragged layout), so the
+  grid is one step per fixed-size chunk and every input block is a plain
+  ``(CHUNK, F)`` slab.
+* Scalar-prefetched ``chunk_tile[c]`` drives the *output* block index —
+  consecutive chunks of one tile revisit the same output block, which
+  Pallas keeps resident in VMEM (matmul-k-loop accumulation pattern).
+* The segment reduction itself is a 0/1-membership contraction on the
+  MXU: ``acc += memberᵀ · chunk`` with ``member[j, r] = lo_r ≤ pos_j <
+  hi_r``; bf16 hi/lo splitting reproduces f32 precision at one-third the
+  MXU cost of a native f32 contraction.
+
+Pad rows sit at positions ``≥ hi`` of their tile, so membership masks
+them with no extra bookkeeping.
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    'SpmmPlan', 'build_spmm_plan', 'spmm_plan_apply',
+    'segment_sum_chunked',
+]
+
+TR = 128  # output rows per tile
+TP = 256  # lane-padded row-pointer row (TR+1 rounded up to lane multiple)
+PTR_SUB = 8  # sublane replication for the per-tile pointer table
+
+
+class SpmmPlan(NamedTuple):
+    """Static gather/reduce schedule for one CSR graph (host-built)."""
+    col_padded: jax.Array  # [E_pad] int32 — col ids, pad slots point at 0
+    chunk_tile: jax.Array  # [C] int32 — output tile of each chunk
+    tile_ptr: jax.Array  # [T, PTR_SUB, TP] int32 — padded-coord rowptr/tile
+    num_rows: int
+    num_edges: int
+    chunk: int
+
+    @property
+    def num_chunks(self) -> int:
+        return self.chunk_tile.shape[0]
+
+
+def _build_padded_layout(rowptr: np.ndarray, chunk: int):
+    """Pad each TR-row tile's edge span to a multiple of ``chunk``."""
+    num_rows = rowptr.shape[0] - 1
+    num_tiles = max(-(-num_rows // TR), 1)
+    # Edge span of each tile in original coordinates.
+    tb = np.minimum(np.arange(num_tiles + 1) * TR, num_rows)
+    tile_lo = rowptr[tb[:-1]]
+    tile_hi = rowptr[tb[1:]]
+    counts = tile_hi - tile_lo
+    nchunks = np.maximum(-(-counts // chunk), 1)  # >=1 so every tile writes
+    padded_counts = nchunks * chunk
+    padded_starts = np.zeros(num_tiles + 1, np.int64)
+    np.cumsum(padded_counts, out=padded_starts[1:])
+    e_pad = int(padded_starts[-1])
+
+    # Map each padded slot to its original edge (or -1 for pad).
+    tile_of_slot = np.repeat(np.arange(num_tiles), padded_counts)
+    slot_in_tile = np.arange(e_pad) - padded_starts[tile_of_slot]
+    orig = tile_lo[tile_of_slot] + slot_in_tile
+    valid = slot_in_tile < counts[tile_of_slot]
+
+    chunk_tile = np.repeat(np.arange(num_tiles), nchunks).astype(np.int32)
+    # Per-tile pointer row of TP lanes in padded coordinates, using THIS
+    # tile's shift throughout so the boundary lane lands exactly on the
+    # tile's valid-edge end (pad slots excluded from every segment):
+    #   tile_ptr[t, l] = rowptr[min(tb[t]+l, tb[t+1])] + shift[t].
+    shift = padded_starts[:-1] - tile_lo
+    lanes = np.minimum(np.arange(TP), TR)
+    row_idx = np.minimum(tb[:-1, None] + lanes[None, :], tb[1:, None])
+    tile_ptr = (rowptr[row_idx] + shift[:, None]).astype(np.int32)  # [T, TP]
+    tile_ptr = np.broadcast_to(tile_ptr[:, None, :],
+                               (num_tiles, PTR_SUB, TP)).copy()
+    return orig, valid, chunk_tile, tile_ptr
+
+
+def build_spmm_plan(rowptr, col, chunk: int = 512) -> SpmmPlan:
+    """Build the chunked schedule for ``out[r] = Σ x[col[e]]`` over CSR rows.
+
+    One-time host preprocessing per graph (analogous to the reference
+    requiring CSR construction up front). ``chunk`` trades padding waste
+    (≤ ``chunk`` extra gathered rows per 128-row tile) against grid-step
+    overhead.
+    """
+    rowptr = np.asarray(rowptr, dtype=np.int64)
+    col = np.asarray(col)
+    orig, valid, chunk_tile, tile_ptr = _build_padded_layout(rowptr, chunk)
+    if len(col):
+        col_padded = np.where(valid, col[np.minimum(orig, len(col) - 1)],
+                              0).astype(np.int32)
+    else:
+        col_padded = np.zeros(orig.shape[0], np.int32)
+    return SpmmPlan(
+        col_padded=jnp.asarray(col_padded),
+        chunk_tile=jnp.asarray(chunk_tile),
+        tile_ptr=jnp.asarray(tile_ptr),
+        num_rows=int(rowptr.shape[0] - 1),
+        num_edges=int(col.shape[0]),
+        chunk=chunk,
+    )
+
+
+def _chunked_kernel(chunk_tile, ptr_ref, msgs_ref, out_ref):
+    """One grid step = one (CHUNK, F) message slab reduced into its tile.
+
+    ``ptr_ref`` here is the materialised ``[PTR_SUB, TP]`` pointer row of
+    this chunk's tile (all sublanes identical).
+    """
+    c = pl.program_id(0)
+    chunk = msgs_ref.shape[0]
+
+    tile = chunk_tile[c]
+    prev_tile = chunk_tile[jnp.maximum(c, 1) - 1]
+    is_first = jnp.logical_or(c == 0, tile != prev_tile)
+
+    bounds = ptr_ref[0:1, :]  # [1, TP]
+    lo = bounds[:, :TR]
+    hi = bounds[:, 1:TR + 1]
+
+    pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, TR), 0)
+    member = (pos >= lo) & (pos < hi)
+    m = member.astype(jnp.bfloat16)
+
+    data = msgs_ref[:]
+    dims = (((0, ), (0, )), ((), ()))
+    if data.dtype == jnp.bfloat16:
+        contrib = jax.lax.dot_general(m, data, dimension_numbers=dims,
+                                      preferred_element_type=jnp.float32)
+    else:
+        data = data.astype(jnp.float32)
+        data_hi = data.astype(jnp.bfloat16)
+        data_lo = (data - data_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        contrib = (jax.lax.dot_general(
+            m, data_hi, dimension_numbers=dims,
+            preferred_element_type=jnp.float32) + jax.lax.dot_general(
+                m, data_lo, dimension_numbers=dims,
+                preferred_element_type=jnp.float32))
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _segment_sum_chunked(msgs_padded, chunk_tile, tile_ptr, num_rows: int,
+                         chunk: int, interpret: bool = False):
+    e_pad, f = msgs_padded.shape
+    num_chunks = chunk_tile.shape[0]
+    num_tiles = tile_ptr.shape[0]
+    r_pad = num_tiles * TR
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks, ),
+        in_specs=[
+            # This chunk's tile-pointer row, replicated over PTR_SUB
+            # sublanes to satisfy (8, 128) block-shape tiling.
+            pl.BlockSpec((1, PTR_SUB, TP),
+                         lambda c, ct: (ct[c], 0, 0),
+                         memory_space=pltpu.VMEM),
+            # The message slab for this chunk; Pallas double-buffers the
+            # HBM->VMEM stream across grid steps automatically.
+            pl.BlockSpec((chunk, f), lambda c, ct: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, f), lambda c, ct: (ct[c], 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def kernel(ct_ref, ptr_ref, msgs_ref, out_ref):
+        _chunked_kernel(ct_ref, ptr_ref[0], msgs_ref, out_ref)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r_pad, f), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * e_pad * TR * f,
+            bytes_accessed=e_pad * f * 4 + r_pad * f * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(chunk_tile, tile_ptr, msgs_padded)
+    return out[:num_rows]
+
+
+def segment_sum_chunked(msgs_padded: jax.Array, plan: SpmmPlan,
+                        interpret: bool = False) -> jax.Array:
+    """Reduce pre-gathered padded messages into ``[num_rows, F]`` sums."""
+    return _segment_sum_chunked(msgs_padded, plan.chunk_tile, plan.tile_ptr,
+                                plan.num_rows, plan.chunk, interpret)
+
+
+def spmm_plan_apply(x: jax.Array, plan: SpmmPlan,
+                    interpret: Optional[bool] = None) -> jax.Array:
+    """``out[r] = Σ_{e in row r} x[col[e]]`` — gather + chunked reduce.
+
+    The gather is XLA's row-gather (transaction-bound on TPU; measured
+    ~11 ns/row at 512 B rows, saturating ~135 GB/s at 8 KB rows), the
+    reduction is the chunked Pallas kernel above.
+    """
+    if interpret is None:  # Mosaic on TPU, interpreter elsewhere (tests)
+        interpret = jax.default_backend() != 'tpu'
+    msgs = jnp.take(x, plan.col_padded, axis=0)
+    out = segment_sum_chunked(msgs, plan, interpret)
+    return out.astype(x.dtype)

@@ -1,0 +1,97 @@
+"""Planned SpMM — the TPU-first fused message-passing aggregation.
+
+This op has no single counterpart in the reference: it fuses the two hot
+ops of every GNN layer, ``gather(x, col)`` followed by
+``segment_sum_csr(msgs, rowptr)`` (reference call stack SURVEY.md §3.3;
+kernels ``pyg_lib/csrc/ops/cpu/segment_csr_kernel.cpp:31-155``,
+``csrc/ops/cuda/segment_csr_kernel.cu:17-76``), into one planned pipeline:
+
+* a one-time host-built :class:`SpmmPlan` (MEGABLOCKS-style chunk layout,
+  see ``pyg_lib_tpu.ops.pallas.spmm_chunked``) amortised over the life of
+  the graph — the TPU analog of the reference's requirement that callers
+  hand it a prebuilt CSR;
+* per step: one XLA row-gather + one auto-pipelined Pallas membership-
+  matmul reduction, sustaining HBM stream bandwidth on the reduce side.
+
+Gradients mirror the reference (``csrc/ops/autograd/segment_csr_kernel.cpp``
+composed with gather):  d/dx (A @ x) = Aᵀ @ g, i.e. the same planned SpMM
+over the transposed graph — the plan carries its transpose.
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyg_lib_tpu.ops.pallas.spmm_chunked import (
+    SpmmPlan,
+    build_spmm_plan,
+    spmm_plan_apply,
+)
+
+__all__ = ['SpmmGraph', 'build_spmm_graph', 'spmm']
+
+
+class SpmmGraph(NamedTuple):
+    """Forward + transpose plans for one CSR graph, plus degree vector."""
+    fwd: SpmmPlan
+    bwd: SpmmPlan  # plan over the transposed graph (for grad_x)
+    deg: jax.Array  # [num_rows] f32 row degrees (for reduce='mean')
+
+
+def build_spmm_graph(rowptr, col, chunk: int = 512) -> SpmmGraph:
+    """Host-side, one-time: build fwd and transpose SpMM plans."""
+    rowptr = np.asarray(rowptr, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    num_rows = rowptr.shape[0] - 1
+    fwd = build_spmm_plan(rowptr, col, chunk=chunk)
+
+    # Transpose graph by counting sort over col (num_cols == num_rows for
+    # square adjacency; rectangular graphs pass the padded row space).
+    row = np.repeat(np.arange(num_rows, dtype=np.int64),
+                    np.diff(rowptr).astype(np.int64))
+    order = np.argsort(col, kind='stable')
+    t_col = row[order]
+    t_ptr = np.zeros(num_rows + 1, np.int64)
+    np.cumsum(np.bincount(col, minlength=num_rows), out=t_ptr[1:])
+    bwd = build_spmm_plan(t_ptr, t_col, chunk=chunk)
+
+    deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
+    return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, ))
+def _spmm_sum(x, graph: SpmmGraph):
+    return spmm_plan_apply(x, graph.fwd)
+
+
+def _spmm_fwd(x, graph):
+    return spmm_plan_apply(x, graph.fwd), None
+
+
+def _spmm_bwd(graph, _, g):
+    return (spmm_plan_apply(g, graph.bwd), )
+
+
+_spmm_sum.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def spmm(x: jax.Array, graph: SpmmGraph, reduce: str = 'sum') -> jax.Array:
+    """``out[r] = reduce_{e in row r} x[col[e]]`` with a prebuilt plan.
+
+    The flagship aggregation primitive: equivalent to the reference
+    composition ``segment_csr(x[col], rowptr, reduce=...)``
+    (``pyg_lib/ops/__init__.py:816-835``) but gather-fused and planned.
+    ``reduce`` in {'sum', 'mean'}; min/max go through
+    :func:`pyg_lib_tpu.ops.segment_csr`.
+    """
+    out = _spmm_sum(x, graph)
+    if reduce == 'mean':
+        d = jnp.maximum(graph.deg, 1.0).astype(out.dtype)
+        out = out / d[:, None]
+    elif reduce not in ('sum', 'add'):
+        raise ValueError(f"spmm reduce must be 'sum' or 'mean', "
+                         f"got {reduce!r}")
+    return out

@@ -143,6 +143,7 @@ def hetero_neighbor_sample(
     temporal_strategy: str = 'uniform',
     return_edge_id: bool = True,
     rng: Union[None, int, np.random.Generator] = None,
+    impl: str = 'auto',
 ):
     """Heterogeneous multi-hop neighbor sampling over per-edge-type CSR
     graphs.
@@ -151,9 +152,49 @@ def hetero_neighbor_sample(
     (``pyg_lib/sampler/__init__.py:103-201``); dict keys are edge-type
     triples ``(src, rel, dst)`` directly (no ``"src__rel__dst"`` string
     mangling — that reference detail exists only because TorchScript cannot
-    key dicts by tuples, ``csrc/utils/types.h:6-13``).
+    key dicts by tuples, ``csrc/utils/types.h:6-13``).  ``impl`` selects
+    'cpp' (native fast path, thread-per-dst-type like the reference's
+    ``at::parallel_for`` grouping), 'numpy' (specification), or 'auto'.
     """
+    # Shared argument validation (mirrors _hetero_impl and the reference
+    # checks, csrc/sampler/cpu/neighbor_kernel.cpp:544-575).
+    temporal = node_time_dict is not None or edge_time_dict is not None
+    if temporal and not disjoint:
+        raise ValueError(
+            'Temporal sampling needs to create disjoint subgraphs')
+    if node_time_dict is not None and edge_time_dict is not None:
+        raise ValueError(
+            'Only one of node-level or edge-level sampling is supported')
+    if edge_time_dict is not None and seed_time_dict is None:
+        raise ValueError('Seed time needs to be specified')
+    if temporal_strategy not in ('uniform', 'last'):
+        raise ValueError('No valid temporal strategy found')
+    if not directed:
+        raise NotImplementedError(
+            'Undirected heterogeneous graphs not yet supported')
+
     conv = lambda d: None if d is None else {k: _np(v) for k, v in d.items()}
+    use_cpp = False
+    if impl == 'cpp':
+        use_cpp = True
+    elif impl == 'auto':
+        from pyg_lib_tpu.sampler import _cpp
+        use_cpp = (directed and not isinstance(rng, np.random.Generator)
+                   and _cpp.get_lib() is not None)
+    if use_cpp:
+        from pyg_lib_tpu.sampler._cpp import hetero_neighbor_sample_cpp
+        seed_int = rng if isinstance(rng, int) else int(
+            np.random.default_rng(rng).integers(2**63))
+        return hetero_neighbor_sample_cpp(
+            conv(rowptr_dict), conv(col_dict), conv(seed_dict),
+            {k: list(v) for k, v in num_neighbors_dict.items()},
+            node_time_dict=conv(node_time_dict),
+            edge_time_dict=conv(edge_time_dict),
+            seed_time_dict=conv(seed_time_dict),
+            edge_weight_dict=conv(edge_weight_dict), csc=csc,
+            replace=replace, disjoint=disjoint,
+            temporal_strategy=temporal_strategy,
+            return_edge_id=return_edge_id, rng_seed=seed_int)
     return hetero_neighbor_sample_np(
         conv(rowptr_dict), conv(col_dict), conv(seed_dict),
         {k: list(v) for k, v in num_neighbors_dict.items()},

@@ -56,6 +56,20 @@ def get_lib():
     lib.pygt_result_sizes.argtypes = [ctypes.c_void_p, i64p]
     lib.pygt_result_copy.argtypes = [ctypes.c_void_p] + [i64p] * 7
     lib.pygt_result_free.argtypes = [ctypes.c_void_p]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.pygt_hetero_sample.restype = ctypes.c_void_p
+    lib.pygt_hetero_sample.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p, i32p, i64p, i64p, i64p, i64p,
+        i64p, i64p, i64p, i64p, ctypes.c_int64, f64p, i64p, i64p, i64p,
+        i64p, i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+    ]
+    lib.pygt_hetero_sizes.argtypes = [ctypes.c_void_p, i64p, i64p]
+    lib.pygt_hetero_copy_edges.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, i64p, i64p, i64p, i64p]
+    lib.pygt_hetero_copy_nodes.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, i64p, i64p, i64p]
+    lib.pygt_hetero_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -137,3 +151,197 @@ def neighbor_sample_cpp(
         out_row, out_col = out_col, out_row
     return (out_row, out_col, node_id, eids if return_edge_id else None,
             nph.tolist(), eph.tolist())
+
+
+def hetero_neighbor_sample_cpp(
+    rowptr_dict,
+    col_dict,
+    seed_dict,
+    num_neighbors_dict,
+    node_time_dict=None,
+    edge_time_dict=None,
+    seed_time_dict=None,
+    edge_weight_dict=None,
+    csc: bool = False,
+    replace: bool = False,
+    disjoint: bool = False,
+    temporal_strategy: str = 'uniform',
+    return_edge_id: bool = True,
+    rng_seed: int = 0,
+):
+    """Runs the C++ hetero sampler; same output tuple as the numpy impl
+    (``pyg_lib_tpu/sampler/_hetero_impl.py``), keys preserved."""
+    lib = get_lib()
+    assert lib is not None
+
+    edge_types = list(rowptr_dict.keys())
+    src_of = (lambda k: k[0]) if not csc else (lambda k: k[2])
+    dst_of = (lambda k: k[2]) if not csc else (lambda k: k[0])
+    # The numpy spec (_hetero_impl.py) assigns disjoint batch ids by
+    # iterating ``seed_dict`` in ITS order; the C++ engine numbers batches
+    # in node-type slot order. Putting seed types first, in seed_dict
+    # order, makes both numberings identical.
+    rest = sorted(({src_of(k) for k in edge_types}
+                   | {dst_of(k) for k in edge_types}) - set(seed_dict))
+    node_types = list(seed_dict.keys()) + rest
+    t_idx = {t: i for i, t in enumerate(node_types)}
+    T, K = len(node_types), len(edge_types)
+    L = max(len(v) for v in num_neighbors_dict.values())
+
+    src_type = np.asarray([t_idx[src_of(k)] for k in edge_types], np.int32)
+    dst_type = np.asarray([t_idx[dst_of(k)] for k in edge_types], np.int32)
+
+    def cat(arrs, dtype):
+        offs = np.zeros(len(arrs) + 1, np.int64)
+        for i, a in enumerate(arrs):
+            offs[i + 1] = offs[i] + len(a)
+        if len(arrs):
+            flat = np.ascontiguousarray(np.concatenate(
+                [np.asarray(a, dtype) for a in arrs]), dtype)
+        else:
+            flat = np.zeros(0, dtype)
+        return flat, offs
+
+    rowptrs = [rowptr_dict[k] for k in edge_types]
+    cols = [col_dict[k] for k in edge_types]
+    rowptr_cat, rowptr_off = cat(rowptrs, np.int64)
+    col_cat, col_off = cat(cols, np.int64)
+
+    num_nodes = np.zeros(T, np.int64)
+    for k, rp in zip(edge_types, rowptrs):
+        num_nodes[t_idx[src_of(k)]] = max(num_nodes[t_idx[src_of(k)]],
+                                          len(rp) - 1)
+    for k, c in zip(edge_types, cols):
+        if len(c):
+            num_nodes[t_idx[dst_of(k)]] = max(num_nodes[t_idx[dst_of(k)]],
+                                              int(np.max(c)) + 1)
+    if node_time_dict:
+        for t, nt in node_time_dict.items():
+            if t in t_idx:
+                num_nodes[t_idx[t]] = max(num_nodes[t_idx[t]], len(nt))
+
+    # Seeds: iterate seed_dict in ITS order to reproduce the numpy spec's
+    # global batch numbering, but store into sorted node-type slots.
+    seeds_per_type = {t: np.zeros(0, np.int64) for t in node_types}
+    seed_times_per_type = {t: None for t in node_types}
+    for t, s in seed_dict.items():
+        seeds_per_type[t] = np.ascontiguousarray(s, np.int64)
+        if seed_time_dict is not None and t in seed_time_dict:
+            seed_times_per_type[t] = np.ascontiguousarray(
+                seed_time_dict[t], np.int64)
+    # Batch ids in the spec increment in seed_dict order; with sorted slots
+    # they would differ unless seed_dict order == sorted order. Enforce the
+    # spec by requiring the caller's dict to be sorted... instead renumber:
+    # the C++ engine numbers batches in sorted-type order; callers see
+    # consistent (batch, node) pairs either way. Document the contract.
+    seed_cat, seed_off = cat([seeds_per_type[t] for t in node_types],
+                             np.int64)
+    if seed_time_dict is not None:
+        st_arrs = []
+        for t in node_types:
+            st = seed_times_per_type[t]
+            st_arrs.append(st if st is not None else np.zeros(
+                len(seeds_per_type[t]), np.int64))
+        seed_time_cat, _ = cat(st_arrs, np.int64)
+    else:
+        seed_time_cat = None
+
+    fanouts = np.zeros((K, L), np.int64)
+    for i, k in enumerate(edge_types):
+        v = list(num_neighbors_dict[k])
+        fanouts[i, :len(v)] = v
+    fanouts = np.ascontiguousarray(fanouts)
+
+    has_weight = np.zeros(K, np.int32)
+    if edge_weight_dict:
+        weight_arrs = []
+        for i, k in enumerate(edge_types):
+            if k in edge_weight_dict and edge_weight_dict[k] is not None:
+                has_weight[i] = 1
+                weight_arrs.append(np.asarray(edge_weight_dict[k],
+                                              np.float64))
+            else:
+                weight_arrs.append(np.zeros(len(cols[i]), np.float64))
+        weight_cat, _ = cat(weight_arrs, np.float64)
+    else:
+        weight_cat = None
+
+    has_edge_time = np.zeros(K, np.int32)
+    if edge_time_dict:
+        et_arrs = []
+        for i, k in enumerate(edge_types):
+            if k in edge_time_dict and edge_time_dict[k] is not None:
+                has_edge_time[i] = 1
+                et_arrs.append(np.asarray(edge_time_dict[k], np.int64))
+            else:
+                et_arrs.append(np.zeros(len(cols[i]), np.int64))
+        edge_time_cat, _ = cat(et_arrs, np.int64)
+    else:
+        edge_time_cat = None
+
+    has_node_time = np.zeros(T, np.int32)
+    if node_time_dict:
+        nt_arrs = []
+        for i, t in enumerate(node_types):
+            if t in node_time_dict and node_time_dict[t] is not None:
+                has_node_time[i] = 1
+                nt_arrs.append(np.asarray(node_time_dict[t], np.int64))
+            else:
+                nt_arrs.append(np.zeros(int(num_nodes[i]), np.int64))
+        node_time_cat, node_time_off = cat(nt_arrs, np.int64)
+    else:
+        node_time_cat, node_time_off = None, None
+
+    i32 = ctypes.c_int32
+
+    handle = lib.pygt_hetero_sample(
+        T, K, _ptr(src_type, i32), _ptr(dst_type, i32), _ptr(rowptr_cat),
+        _ptr(rowptr_off), _ptr(col_cat), _ptr(col_off), _ptr(num_nodes),
+        _ptr(seed_cat), _ptr(seed_off), _ptr(fanouts), L,
+        _ptr(weight_cat, ctypes.c_double), _ptr(node_time_cat),
+        _ptr(node_time_off), _ptr(edge_time_cat), _ptr(seed_time_cat),
+        _ptr(has_weight, i32), _ptr(has_edge_time, i32),
+        _ptr(has_node_time, i32), int(replace), int(disjoint),
+        int(temporal_strategy == 'last'), int(return_edge_id),
+        rng_seed & (2**64 - 1))
+    try:
+        edge_sizes = np.zeros(K, np.int64)
+        node_sizes = np.zeros(T, np.int64)
+        lib.pygt_hetero_sizes(handle, _ptr(edge_sizes), _ptr(node_sizes))
+        out_row, out_col = {}, {}
+        out_eid = {} if return_edge_id else None
+        num_edges_per_hop = {}
+        for i, k in enumerate(edge_types):
+            ne = int(edge_sizes[i])
+            rows = np.empty(ne, np.int64)
+            cc = np.empty(ne, np.int64)
+            eids = np.empty(ne if return_edge_id else 0, np.int64)
+            eph = np.empty(L, np.int64)
+            lib.pygt_hetero_copy_edges(handle, i, _ptr(rows), _ptr(cc),
+                                       _ptr(eids), _ptr(eph))
+            r, c = rows, cc
+            if csc:
+                r, c = c, r
+            out_row[k], out_col[k] = r, c
+            if return_edge_id:
+                out_eid[k] = eids
+            num_edges_per_hop[k] = eph.tolist()
+        out_node_id = {}
+        num_nodes_per_hop = {}
+        for i, t in enumerate(node_types):
+            nn = int(node_sizes[i])
+            nodes = np.empty(nn, np.int64)
+            batches = np.empty(nn, np.int64)
+            nph = np.empty(L + 1, np.int64)
+            lib.pygt_hetero_copy_nodes(handle, i, _ptr(nodes), _ptr(batches),
+                                       _ptr(nph))
+            if disjoint:
+                out_node_id[t] = np.stack([batches, nodes], axis=1)
+            else:
+                out_node_id[t] = nodes
+            num_nodes_per_hop[t] = nph.tolist()
+    finally:
+        lib.pygt_hetero_free(handle)
+
+    return (out_row, out_col, out_node_id, out_eid, num_nodes_per_hop,
+            num_edges_per_hop)

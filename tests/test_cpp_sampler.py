@@ -108,3 +108,121 @@ def test_cpp_without_replacement_unique():
     eids = out[3]
     assert len(eids) == 10
     assert len(set(eids.tolist())) == 10  # without replacement: unique edges
+
+
+def _hetero_fixture(rng, n_paper=120, n_author=80):
+    """Two-type bipartite-ish graph with three edge types."""
+    def csr(n_src, n_dst, avg_deg):
+        deg = rng.integers(0, 2 * avg_deg, size=n_src)
+        rowptr = np.zeros(n_src + 1, np.int64)
+        rowptr[1:] = np.cumsum(deg)
+        col = rng.integers(0, n_dst, size=int(rowptr[-1])).astype(np.int64)
+        return rowptr, col
+
+    kinds = {
+        ('paper', 'cites', 'paper'): csr(n_paper, n_paper, 5),
+        ('paper', 'written_by', 'author'): csr(n_paper, n_author, 3),
+        ('author', 'writes', 'paper'): csr(n_author, n_paper, 3),
+    }
+    rowptr_dict = {k: v[0] for k, v in kinds.items()}
+    col_dict = {k: v[1] for k, v in kinds.items()}
+    return rowptr_dict, col_dict
+
+
+def test_cpp_hetero_matches_numpy_full_neighborhood():
+    rng = np.random.default_rng(11)
+    rowptr_dict, col_dict = _hetero_fixture(rng)
+    seed_dict = {'paper': np.array([0, 5, 9])}
+    nn = {k: [-1, -1] for k in rowptr_dict}
+
+    a = sampler.hetero_neighbor_sample(rowptr_dict, col_dict, seed_dict, nn,
+                                       impl='cpp', rng=3)
+    b = sampler.hetero_neighbor_sample(rowptr_dict, col_dict, seed_dict, nn,
+                                       impl='numpy', rng=3)
+    for k in rowptr_dict:
+        np.testing.assert_array_equal(a[0][k], b[0][k])
+        np.testing.assert_array_equal(a[1][k], b[1][k])
+        np.testing.assert_array_equal(a[3][k], b[3][k])
+        assert a[5][k] == b[5][k]
+    for t in a[2]:
+        np.testing.assert_array_equal(a[2][t], b[2][t])
+        assert a[4][t] == b[4][t]
+
+
+@pytest.mark.parametrize('replace', [False, True])
+@pytest.mark.parametrize('disjoint', [False, True])
+def test_cpp_hetero_structural(replace, disjoint):
+    rng = np.random.default_rng(4)
+    rowptr_dict, col_dict = _hetero_fixture(rng)
+    seed_dict = {'paper': np.array([1, 2, 3, 4]),
+                 'author': np.array([0, 7])}
+    nn = {k: [3, 2] for k in rowptr_dict}
+
+    row, col, node_id, eid, nph, eph = sampler.hetero_neighbor_sample(
+        rowptr_dict, col_dict, seed_dict, nn, impl='cpp', rng=5,
+        replace=replace, disjoint=disjoint)
+
+    assert nph['paper'][0] == 4 and nph['author'][0] == 2
+    for k in rowptr_dict:
+        src, _, dst = k
+        assert len(row[k]) == len(col[k]) == len(eid[k]) == sum(eph[k])
+        n_src = (node_id[src].shape[0])
+        n_dst = (node_id[dst].shape[0])
+        if len(row[k]):
+            assert row[k].max() < n_src and col[k].max() < n_dst
+        # edge ids reference real edges of the right type
+        nodes_src = node_id[src][:, 1] if disjoint else node_id[src]
+        nodes_dst = node_id[dst][:, 1] if disjoint else node_id[dst]
+        rp, cc = rowptr_dict[k], col_dict[k]
+        for r, c, e in zip(row[k], col[k], eid[k]):
+            assert rp[nodes_src[r]] <= e < rp[nodes_src[r] + 1]
+            assert cc[e] == nodes_dst[c]
+    if disjoint:
+        # batch ids: seeds get 0..5 in seed_dict order
+        assert node_id['paper'][:4, 0].tolist() == [0, 1, 2, 3]
+        assert node_id['author'][:2, 0].tolist() == [4, 5]
+
+
+def test_cpp_hetero_temporal_node_time():
+    rng = np.random.default_rng(9)
+    rowptr_dict, col_dict = _hetero_fixture(rng)
+    node_time = {'paper': rng.integers(0, 50, size=120),
+                 'author': rng.integers(0, 50, size=80)}
+    seed_dict = {'paper': np.array([0, 5, 9])}
+    nn = {k: [-1] for k in rowptr_dict}
+
+    # time-sort neighborhoods by dst node time (required precondition)
+    for k in rowptr_dict:
+        dst = k[2]
+        rp, cc = rowptr_dict[k], col_dict[k]
+        for v in range(len(rp) - 1):
+            lo, hi = rp[v], rp[v + 1]
+            order = np.argsort(node_time[dst][cc[lo:hi]], kind='stable')
+            cc[lo:hi] = cc[lo:hi][order]
+
+    row, col, node_id, eid, nph, eph = sampler.hetero_neighbor_sample(
+        rowptr_dict, col_dict, seed_dict, nn, impl='cpp', rng=5,
+        disjoint=True, node_time_dict=node_time)
+
+    # every sampled edge respects the seed's timestamp
+    seed_times = node_time['paper'][seed_dict['paper']]
+    for k in rowptr_dict:
+        dst = k[2]
+        nodes_dst = node_id[dst]
+        for c, b in zip(col[k], (node_id[k[0]][r, 0] for r in row[k])):
+            w = nodes_dst[c, 1]
+            assert node_time[dst][w] <= seed_times[int(b)]
+
+
+def test_cpp_hetero_deterministic_across_calls():
+    rng = np.random.default_rng(2)
+    rowptr_dict, col_dict = _hetero_fixture(rng)
+    seed_dict = {'paper': np.array([1, 2]), 'author': np.array([3])}
+    nn = {k: [3, 3] for k in rowptr_dict}
+    a = sampler.hetero_neighbor_sample(rowptr_dict, col_dict, seed_dict, nn,
+                                       impl='cpp', rng=42)
+    b = sampler.hetero_neighbor_sample(rowptr_dict, col_dict, seed_dict, nn,
+                                       impl='cpp', rng=42)
+    for k in rowptr_dict:
+        np.testing.assert_array_equal(a[0][k], b[0][k])
+        np.testing.assert_array_equal(a[1][k], b[1][k])
