@@ -82,42 +82,48 @@ void run_sample(const SampleArgs& a, Outputs& o) {
       const int64_t v = o.nodes[i];
       const int64_t b = a.disjoint ? o.batches[i] : 0;
       int64_t row_start = a.rowptr[v], row_end = a.rowptr[v + 1];
-      if (row_end == row_start || count == 0) continue;
-      if (temporal) {
+      bool skip = (row_end == row_start || count == 0);
+      if (!skip && temporal) {
         const int64_t st = seed_times[(size_t)b];
         temporal_window(a.node_time, a.edge_time, a.col, st, a.temporal_last,
                         count, row_start, row_end);
-        if (row_end <= row_start) continue;
+        skip = row_end <= row_start;
       }
-      const int64_t population = row_end - row_start;
-      SplitMix64 rng = site_rng(a.rng_seed, 0, (uint64_t)ell, (uint64_t)i,
-                                (uint64_t)v);
-      if (a.edge_weight) {
-        biased_sample_offsets(rng, a.edge_weight + row_start, population,
-                              count, a.replace, offs, scratch);
-      } else {
-        sample_offsets(rng, tracker, population, count, a.replace, offs);
-      }
-      for (int64_t off : offs) {
-        const int64_t e = row_start + off;
-        const int64_t w = a.col[e];
-        if (a.distributed) {
-          o.nodes.push_back(w);
-          o.batches.push_back(b);
-          if (a.return_edge_id) o.eids.push_back(e);
+      if (!skip) {
+        const int64_t population = row_end - row_start;
+        SplitMix64 rng = site_rng(a.rng_seed, 0, (uint64_t)ell, (uint64_t)i,
+                                  (uint64_t)v);
+        if (a.edge_weight) {
+          biased_sample_offsets(rng, a.edge_weight + row_start, population,
+                                count, a.replace, offs, scratch);
+        } else {
+          sample_offsets(rng, tracker, population, count, a.replace, offs);
+        }
+        for (int64_t off : offs) {
+          const int64_t e = row_start + off;
+          const int64_t w = a.col[e];
+          if (a.distributed) {
+            o.nodes.push_back(w);
+            o.batches.push_back(b);
+            if (a.return_edge_id) o.eids.push_back(e);
+            hop_edges++;
+            continue;
+          }
+          auto res = mapper.insert(b, w);
+          if (res.second) {
+            o.nodes.push_back(w);
+            o.batches.push_back(b);
+          }
           hop_edges++;
-          continue;
+          o.rows.push_back((int64_t)i);
+          o.cols.push_back(res.first);
+          if (a.return_edge_id) o.eids.push_back(e);
         }
-        auto res = mapper.insert(b, w);
-        if (res.second) {
-          o.nodes.push_back(w);
-          o.batches.push_back(b);
-        }
-        hop_edges++;
-        o.rows.push_back((int64_t)i);
-        o.cols.push_back(res.first);
-        if (a.return_edge_id) o.eids.push_back(e);
       }
+      // Distributed contract: per-frontier-node cumulative node count
+      // (reference cumsum_neighbors_per_node, neighbor.cpp:99-127). The
+      // rows vector is unused in distributed mode and carries it out.
+      if (a.distributed) o.rows.push_back((int64_t)o.nodes.size());
     }
     begin = end;
     end = o.nodes.size();

@@ -212,15 +212,21 @@ def subgraph(
     col,
     nodes,
     return_edge_id: bool = True,
+    impl: str = 'auto',
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Induced subgraph on ``nodes``; returns local CSR
     ``(rowptr, col, edge_id?)``.
 
     Parity: reference ``pyg_lib.sampler.subgraph``
-    (``pyg_lib/sampler/__init__.py:203-225``; two-pass kernel
+    (``pyg_lib/sampler/__init__.py:203-225``; two-pass OpenMP kernel in
+    ``pyg_lib_tpu/csrc/graph_ops.cpp`` mirroring
     ``csrc/sampler/cpu/subgraph_kernel.cpp:13-89``).
     """
     rowptr, col, nodes = _np(rowptr), _np(col), _np(nodes)
+    if impl != 'numpy':
+        from pyg_lib_tpu.sampler import _cpp
+        if _cpp.get_lib() is not None:
+            return _cpp.subgraph_cpp(rowptr, col, nodes, return_edge_id)
     n_out = len(nodes)
     local = {int(v): i for i, v in enumerate(nodes.tolist())}
     out_rowptr = np.zeros(n_out + 1, dtype=rowptr.dtype)
@@ -247,6 +253,7 @@ def random_walk(
     p: float = 1.0,
     q: float = 1.0,
     rng: Union[None, int, np.random.Generator] = None,
+    impl: str = 'auto',
 ) -> np.ndarray:
     """Uniform random walks of length ``walk_length`` from each seed.
 
@@ -259,6 +266,13 @@ def random_walk(
     if p != 1.0 or q != 1.0:
         raise ValueError('Only p=1, q=1 supported')
     rowptr, col, seed = _np(rowptr), _np(col), _np(seed)
+    if impl != 'numpy' and not isinstance(rng, np.random.Generator):
+        from pyg_lib_tpu.sampler import _cpp
+        if _cpp.get_lib() is not None:
+            seed_int = rng if isinstance(rng, int) else int(
+                np.random.default_rng(rng).integers(2**63))
+            return _cpp.random_walk_cpp(rowptr, col, seed, walk_length,
+                                        seed_int)
     gen = _rng(rng)
     n_seed = len(seed)
     out = np.empty((n_seed, walk_length + 1), dtype=np.int64)

@@ -139,8 +139,10 @@ def neighbor_sample_cpp(
         lib.pygt_result_free(handle)
 
     if distributed:
-        raise NotImplementedError(
-            'distributed one-hop sampling uses the numpy path')
+        # rows carries the per-frontier cumulative node counts; prepend the
+        # seed count (reference cumsum contract, neighbor.cpp:99-127).
+        cumsum = np.concatenate([[len(seed)], rows]).astype(np.int64)
+        return nodes, eids, cumsum
 
     if disjoint:
         node_id = np.stack([batches, nodes], axis=1)
@@ -345,3 +347,56 @@ def hetero_neighbor_sample_cpp(
 
     return (out_row, out_col, out_node_id, out_eid, num_nodes_per_hop,
             num_edges_per_hop)
+
+
+def _register_graph_ops(lib):
+    if hasattr(lib, '_graph_ops_registered'):
+        return
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.pygt_subgraph.restype = ctypes.c_void_p
+    lib.pygt_subgraph.argtypes = [i64p, i64p, ctypes.c_int64, i64p,
+                                  ctypes.c_int64, ctypes.c_int32]
+    lib.pygt_subgraph_num_edges.restype = ctypes.c_int64
+    lib.pygt_subgraph_num_edges.argtypes = [ctypes.c_void_p]
+    lib.pygt_subgraph_copy.argtypes = [ctypes.c_void_p, i64p, i64p, i64p]
+    lib.pygt_subgraph_free.argtypes = [ctypes.c_void_p]
+    lib.pygt_random_walk.argtypes = [i64p, i64p, i64p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_uint64, i64p]
+    lib._graph_ops_registered = True
+
+
+def subgraph_cpp(rowptr, col, nodes, return_edge_id=True):
+    """C++ induced subgraph; returns (rowptr, col, edge_id?)."""
+    lib = get_lib()
+    assert lib is not None
+    _register_graph_ops(lib)
+    rowptr = np.ascontiguousarray(rowptr, np.int64)
+    col = np.ascontiguousarray(col, np.int64)
+    nodes = np.ascontiguousarray(nodes, np.int64)
+    n_out = len(nodes)
+    handle = lib.pygt_subgraph(_ptr(rowptr), _ptr(col), len(rowptr) - 1,
+                               _ptr(nodes), n_out, int(return_edge_id))
+    try:
+        ne = lib.pygt_subgraph_num_edges(handle)
+        out_rowptr = np.empty(n_out + 1, np.int64)
+        out_col = np.empty(ne, np.int64)
+        out_eid = np.empty(ne if return_edge_id else 0, np.int64)
+        lib.pygt_subgraph_copy(handle, _ptr(out_rowptr), _ptr(out_col),
+                               _ptr(out_eid))
+    finally:
+        lib.pygt_subgraph_free(handle)
+    return out_rowptr, out_col, (out_eid if return_edge_id else None)
+
+
+def random_walk_cpp(rowptr, col, seed, walk_length, rng_seed=0):
+    """C++ uniform random walks; returns [n_seed, walk_length+1]."""
+    lib = get_lib()
+    assert lib is not None
+    _register_graph_ops(lib)
+    rowptr = np.ascontiguousarray(rowptr, np.int64)
+    col = np.ascontiguousarray(col, np.int64)
+    seed = np.ascontiguousarray(seed, np.int64)
+    out = np.empty((len(seed), walk_length + 1), np.int64)
+    lib.pygt_random_walk(_ptr(rowptr), _ptr(col), _ptr(seed), len(seed),
+                         walk_length, rng_seed & (2**64 - 1), _ptr(out))
+    return out

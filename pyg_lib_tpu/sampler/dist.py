@@ -39,15 +39,35 @@ def dist_neighbor_sample(
     num_neighbors: int,
     replace: bool = False,
     edge_weight: Optional[np.ndarray] = None,
-    rng: Optional[np.random.Generator] = None,
+    rng=None,
+    impl: str = 'auto',
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One-hop sampling WITHOUT local relabeling.
 
     Returns ``(nodes, edge_ids, cumsum_neighbors_per_node)`` where ``nodes``
     starts with the seeds and ``cumsum_neighbors_per_node[i+1]`` is the
     total node count after expanding seed ``i`` (reference contract,
-    ``csrc/sampler/neighbor.cpp:99-127``).
+    ``csrc/sampler/neighbor.cpp:99-127``).  ``impl`` selects 'cpp'
+    (native fast path), 'numpy', or 'auto'.
     """
+    use_cpp = False
+    if impl == 'cpp':
+        use_cpp = True
+    elif impl == 'auto':
+        from pyg_lib_tpu.sampler import _cpp
+        use_cpp = (not isinstance(rng, np.random.Generator)
+                   and _cpp.get_lib() is not None)
+    if use_cpp:
+        from pyg_lib_tpu.sampler._cpp import neighbor_sample_cpp
+        seed_int = rng if isinstance(rng, int) else int(
+            np.random.default_rng(rng).integers(2**63))
+        return neighbor_sample_cpp(
+            np.asarray(rowptr), np.asarray(col), np.asarray(seed),
+            [num_neighbors], edge_weight=None if edge_weight is None else
+            np.asarray(edge_weight), replace=replace, distributed=True,
+            rng_seed=seed_int)
+    if rng is not None and not isinstance(rng, np.random.Generator):
+        rng = np.random.default_rng(rng)
     return sample_one_hop_np(rowptr, col, seed, num_neighbors, replace,
                              edge_weight, rng)
 

@@ -226,3 +226,68 @@ def test_cpp_hetero_deterministic_across_calls():
     for k in rowptr_dict:
         np.testing.assert_array_equal(a[0][k], b[0][k])
         np.testing.assert_array_equal(a[1][k], b[1][k])
+
+
+def test_cpp_subgraph_matches_numpy():
+    rng = np.random.default_rng(6)
+    n = 500
+    deg = rng.integers(0, 8, size=n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=int(rowptr[-1])).astype(np.int64)
+    nodes = np.sort(rng.choice(n, size=60, replace=False))
+
+    a = sampler.subgraph(rowptr, col, nodes, impl='auto')
+    b = sampler.subgraph(rowptr, col, nodes, impl='numpy')
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[2], b[2])
+
+
+def test_cpp_random_walk_valid_and_deterministic():
+    rng = np.random.default_rng(8)
+    n = 100
+    deg = rng.integers(0, 6, size=n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=int(rowptr[-1])).astype(np.int64)
+    seed = np.arange(20)
+
+    w1 = sampler.random_walk(rowptr, col, seed, walk_length=8, rng=5)
+    w2 = sampler.random_walk(rowptr, col, seed, walk_length=8, rng=5)
+    np.testing.assert_array_equal(w1, w2)
+    assert w1.shape == (20, 9)
+    assert (w1[:, 0] == seed).all()
+    # each step is a real edge or a dead-end repeat
+    for i in range(20):
+        for s in range(1, 9):
+            u, v = w1[i, s - 1], w1[i, s]
+            lo, hi = rowptr[u], rowptr[u + 1]
+            if hi > lo:
+                assert v in col[lo:hi]
+            else:
+                assert v == u
+
+
+def test_cpp_dist_neighbor_sample_contract():
+    rng = np.random.default_rng(10)
+    n = 80
+    deg = rng.integers(0, 6, size=n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=int(rowptr[-1])).astype(np.int64)
+    seed = np.array([3, 7, 11, 19])
+
+    nodes, eids, cumsum = sampler.dist_neighbor_sample(
+        rowptr, col, seed, num_neighbors=3, rng=2, impl='cpp')
+    assert cumsum[0] == len(seed)
+    assert cumsum[-1] == len(nodes)
+    assert len(cumsum) == len(seed) + 1
+    np.testing.assert_array_equal(nodes[:len(seed)], seed)
+    assert len(eids) == len(nodes) - len(seed)
+    # every expanded node matches its edge id, grouped per seed
+    for i in range(len(seed)):
+        for p in range(int(cumsum[i]), int(cumsum[i + 1])):
+            e = eids[p - len(seed)]
+            assert rowptr[seed[i]] <= e < rowptr[seed[i] + 1]
+            assert col[e] == nodes[p]
