@@ -23,3 +23,6 @@ __all__ = [
     'halo_exchange_aggregate',
     'make_train_step',
 ]
+from pyg_lib_tpu.parallel.halo import ring_halo_aggregate  # noqa: E402,F401
+
+__all__ = list(dict.fromkeys(list(__all__) + ['ring_halo_aggregate']))

@@ -26,7 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from pyg_lib_tpu.ops import segment_sum_csr
 
-__all__ = ['halo_exchange_aggregate']
+__all__ = ['halo_exchange_aggregate', 'ring_halo_aggregate']
 
 
 def halo_exchange_aggregate(mesh: Mesh, x, src_ids, rowptr,
@@ -58,3 +58,58 @@ def halo_exchange_aggregate(mesh: Mesh, x, src_ids, rowptr,
         local, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None)),
         out_specs=P(axis, None))(x, src_ids, rowptr)
+
+
+def ring_halo_aggregate(mesh: Mesh, x, part_rowptr_blk, part_src_blk,
+                        axis: str = 'data'):
+    """Ring-overlapped edge-partitioned aggregation (SURVEY.md §7 hard
+    part 4): source blocks rotate around the ring via ``ppermute`` while
+    each device reduces the sub-CSR of edges fed by the block it currently
+    holds.  Peak memory is one remote block (vs the full feature matrix
+    for :func:`halo_exchange_aggregate`), and XLA's latency-hiding
+    scheduler overlaps the permute with the local gather+reduce.
+
+    Args:
+        mesh: device mesh containing ``axis`` of size D.
+        x: ``[N, F]`` features sharded ``P(axis, None)`` (N = D * npd).
+        part_rowptr_blk: ``[D, D, npd+1]`` from
+            :func:`pyg_lib_tpu.partition.mesh_edge_partition_blocked`,
+            sharded ``P(axis, None, None)``.
+        part_src_blk: ``[D, D, E_blk_max]`` block-local source ids,
+            sharded ``P(axis, None, None)``.
+
+    Returns:
+        ``[N, F]`` per-destination sums, sharded like ``x``.
+    """
+    num_dev = mesh.shape[axis]
+    perm = [(j, (j - 1) % num_dev) for j in range(num_dev)]
+
+    def local(x_shard, rb_shard, sb_shard):
+        me = jax.lax.axis_index(axis)
+        x_blk = x_shard  # [npd, F]; after s permutes: block (me + s) % D
+        rb = rb_shard[0]  # [D, npd+1]
+        sb = sb_shard[0]  # [D, E_blk_max]
+        npd = x_shard.shape[0]
+        acc = jnp.zeros_like(x_shard)
+
+        def body(carry, s):
+            x_blk, acc = carry
+            owner = jax.lax.rem(me.astype(jnp.int32) + s,
+                                jnp.int32(num_dev))
+            sub_ptr = jax.lax.dynamic_index_in_dim(rb, owner, keepdims=False)
+            sub_src = jax.lax.dynamic_index_in_dim(sb, owner, keepdims=False)
+            msgs = jnp.take(x_blk, jnp.minimum(sub_src, npd - 1), axis=0)
+            acc = acc + segment_sum_csr(msgs, sub_ptr)
+            x_blk = jax.lax.ppermute(x_blk, axis, perm)
+            return (x_blk, acc), None
+
+        # scan (not fori_loop) so the ring is reverse-differentiable for
+        # training through the aggregation.
+        (_, acc), _ = jax.lax.scan(body, (x_blk, acc),
+                                   jnp.arange(num_dev, dtype=jnp.int32))
+        return acc
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None), P(axis, None, None)),
+        out_specs=P(axis, None))(x, part_rowptr_blk, part_src_blk)

@@ -14,7 +14,10 @@ from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
-__all__ = ['metis', 'mesh_edge_partition', 'EdgePartition']
+__all__ = [
+    'metis', 'mesh_edge_partition', 'EdgePartition',
+    'mesh_edge_partition_blocked', 'BlockedEdgePartition',
+]
 
 
 def metis(rowptr, col, num_partitions: int, node_weight=None,
@@ -128,3 +131,68 @@ def mesh_edge_partition(rowptr, col, num_devices: int) -> EdgePartition:
         # ops drop them.
         mask[i, :cnt] = True
     return EdgePartition(out_rowptr, out_src, mask, n_pad, npd)
+
+
+class BlockedEdgePartition(NamedTuple):
+    """Per-(device, source-block) sub-CSRs for the ring halo exchange
+    (:func:`pyg_lib_tpu.parallel.ring_halo_aggregate`).
+
+    Device ``i`` owns destinations ``[i*npd, (i+1)*npd)``; its edges are
+    split by source block ``b = src // npd`` into ``D`` sub-CSRs so that
+    ring step ``s`` (holding source block ``(i+s) % D`` in VMEM) touches
+    exactly the edges whose sources that block provides — every edge is
+    processed once across the ring (SURVEY.md §7 hard part 4).
+    """
+    rowptr_blk: np.ndarray  # [D, D, npd+1] int32; [i, b] = sub-CSR of (i, b)
+    src_blk: np.ndarray  # [D, D, E_blk_max] int32 block-LOCAL source ids
+    num_nodes_padded: int
+    nodes_per_device: int
+
+
+def mesh_edge_partition_blocked(rowptr, col,
+                                num_devices: int) -> BlockedEdgePartition:
+    """Range-partitions destinations AND groups each device's edges by
+    source block — the all-static-shape layout for overlap-friendly ring
+    aggregation.  Same CSC input convention as :func:`mesh_edge_partition`.
+    """
+    rowptr = np.asarray(rowptr, np.int64)
+    col = np.asarray(col, np.int64)
+    n = len(rowptr) - 1
+    d = num_devices
+    npd = -(-n // d)
+    n_pad = npd * d
+
+    # Per (device, block): build sub-CSR.
+    sub_ptrs = np.zeros((d, d, npd + 1), np.int64)
+    sub_srcs: list = [[None] * d for _ in range(d)]
+    for i in range(d):
+        lo = min(i * npd, n)
+        hi = min((i + 1) * npd, n)
+        base = int(rowptr[lo])
+        cnt = int(rowptr[hi]) - base
+        local_ptr = (rowptr[lo:hi + 1] - base).astype(np.int64)
+        srcs = col[base:base + cnt]
+        blocks = np.minimum(srcs // npd, d - 1)
+        dst_of_edge = np.repeat(
+            np.arange(hi - lo),
+            np.diff(local_ptr)) if cnt else np.zeros(0, np.int64)
+        for b in range(d):
+            sel = blocks == b
+            e_sel = np.nonzero(sel)[0]
+            # counts per local dst for this block
+            cnts = np.bincount(dst_of_edge[e_sel], minlength=npd) \
+                if cnt else np.zeros(npd, np.int64)
+            sub_ptrs[i, b, 1:] = np.cumsum(cnts)
+            sub_srcs[i][b] = (srcs[e_sel] - b * npd).astype(np.int32)
+
+    e_blk_max = max(
+        max((len(sub_srcs[i][b]) for i in range(d) for b in range(d)),
+            default=0), 1)
+    e_blk_max = ((e_blk_max + 127) // 128) * 128
+    src_blk = np.zeros((d, d, e_blk_max), np.int32)
+    for i in range(d):
+        for b in range(d):
+            s = sub_srcs[i][b]
+            src_blk[i, b, :len(s)] = s
+    return BlockedEdgePartition(sub_ptrs.astype(np.int32), src_blk, n_pad,
+                                npd)
