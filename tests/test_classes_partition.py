@@ -1,0 +1,109 @@
+"""Stateful classes (HashMap, samplers) and graph partitioning.
+
+Counterpart of reference ``test/classes/test_hash_map.py`` /
+``test/classes/test_neighbor_sampler.py`` / ``test/partition/test_metis.py``
+intent, with independent checks.
+"""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from pyg_lib_tpu import classes, partition, sampler
+from pyg_lib_tpu.testing import cycle_graph
+
+
+def test_hash_map_get_and_miss():
+    keys = np.array([43, 17, 5, 99, 0])
+    m = classes.HashMap(keys)
+    q = np.array([17, 5, 7, 43, 100])
+    np.testing.assert_array_equal(m.get(q), [1, 2, -1, 0, -1])
+    np.testing.assert_array_equal(m.keys(), keys)
+    assert len(m) == 5
+
+
+def test_hash_map_pickle_roundtrip():
+    m = classes.HashMap(np.array([9, 3, 27]))
+    m2 = pickle.loads(pickle.dumps(m))
+    np.testing.assert_array_equal(m2.get(np.array([27, 3, 9, 1])),
+                                  [2, 1, 0, -1])
+
+
+def test_hash_map_rejects_duplicates():
+    with pytest.raises(ValueError):
+        classes.HashMap(np.array([1, 1, 2]))
+
+
+def test_neighbor_sampler_class():
+    rowptr, col = cycle_graph(16)
+    s = classes.NeighborSampler(rowptr, col)
+    row, c, node_id, eid, nph, eph = s.sample([2, 2], np.array([0, 8]),
+                                              rng=1)
+    assert nph[0] == 2
+    assert len(row) == len(c) == sum(eph)
+
+
+def test_hetero_neighbor_sampler_class_disjoint_batch():
+    rng = np.random.default_rng(0)
+    rp = np.zeros(21, np.int64)
+    rp[1:] = np.cumsum(rng.integers(0, 4, size=20))
+    cl = rng.integers(0, 20, size=int(rp[-1])).astype(np.int64)
+    s = classes.HeteroNeighborSampler(['a'], [('a', 'to', 'a')],
+                                      {('a', 'to', 'a'): rp},
+                                      {('a', 'to', 'a'): cl})
+    row, col, node_id, batch, eid, nph, eph = s.sample(
+        {('a', 'to', 'a'): [2]}, {'a': np.array([1, 3])}, disjoint=True,
+        rng=2)
+    assert batch is not None
+    assert batch['a'][:2].tolist() == [0, 1]
+    assert node_id['a'].ndim == 1
+
+
+def test_metis_balanced_partition():
+    rowptr, col = cycle_graph(64)
+    part = partition.metis(rowptr, col, 4)
+    assert part.shape == (64, )
+    assert set(part.tolist()) == {0, 1, 2, 3}
+    counts = np.bincount(part)
+    assert counts.max() <= 2 * counts.min() + 2  # rough balance
+    # cycle graph: a decent cut has far fewer cut edges than total
+    cut = sum(1 for v in range(64) for e in range(rowptr[v], rowptr[v + 1])
+              if part[v] != part[col[e]])
+    assert cut < 64  # 128 edges total
+
+
+def test_mesh_edge_partition_roundtrip():
+    rng = np.random.default_rng(1)
+    n = 37
+    deg = rng.integers(0, 5, size=n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=int(rowptr[-1])).astype(np.int64)
+    part = partition.mesh_edge_partition(rowptr, col, 4)
+    # every original edge appears exactly once across devices
+    total = int(part.edge_mask.sum())
+    assert total == int(rowptr[-1])
+    # per-device local CSR covers its node range
+    npd = part.nodes_per_device
+    for i in range(4):
+        lo = min(i * npd, n)
+        hi = min((i + 1) * npd, n)
+        cnt = int(rowptr[hi] - rowptr[lo])
+        assert part.rowptr[i, -1] == cnt
+
+
+def test_hetero_relabel_neighborhood():
+    # Single edge type a->b: 2 seed a-nodes each sampling 2 b-nodes.
+    out_row, out_col = sampler.hetero_relabel_neighborhood(
+        node_types=['a', 'b'],
+        edge_types=[('a', 'to', 'b')],
+        seed_dict={'a': np.array([10, 20]), 'b': np.array([7])},
+        sampled_nodes_with_duplicates_dict={'b': np.array([5, 7, 7, 9])},
+        num_sampled_neighbors_per_node_dict={('a', 'to', 'b'): [[2, 2]]},
+        num_nodes_dict={'a': 100, 'b': 100},
+    )
+    k = ('a', 'to', 'b')
+    np.testing.assert_array_equal(out_row[k], [0, 0, 1, 1])
+    # b mapper seeded with node 7 (local 0); 5 -> 1, 7 -> 0, 9 -> 2
+    np.testing.assert_array_equal(out_col[k], [1, 0, 0, 2])
