@@ -1,0 +1,144 @@
+"""Device-op benchmarks: segment/scatter/spmm bandwidth, grouped-GEMM FLOPs.
+
+Counterpart of the reference benchmark harness
+(reference ``benchmark/ops/*.py``, ``benchmark/csrc/ops/matmul.cpp``) —
+prints one JSON line per metric, GB/s or TFLOP/s plus roofline fraction.
+
+Run: ``python bench/bench_ops.py [metric-substring ...]``
+(no args = all metrics; each TPU compile takes 30-60s, so CI-style runs
+filter to one metric).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+HBM_GBPS = {'TPU v5 lite': 819.0, 'TPU v5': 2765.0, 'TPU v4': 1228.0}
+MXU_BF16_TFLOPS = {'TPU v5 lite': 197.0, 'TPU v5': 459.0, 'TPU v4': 275.0}
+
+
+def _lookup(table, device, default):
+    kind = getattr(device, 'device_kind', '')
+    for k, v in table.items():
+        if kind.startswith(k):
+            return v
+    return default
+
+
+def _time(fn, arg, iters=8):
+    import jax
+
+    @jax.jit
+    def loop(a):
+        def body(_, a):
+            return fn(a) * 1e-6 + a
+
+        return jax.lax.fori_loop(0, iters, body, a).sum()
+
+    float(loop(arg))
+    t0 = time.perf_counter()
+    float(loop(arg))
+    return (time.perf_counter() - t0 - 0.030) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pyg_lib_tpu import ops
+
+    want = sys.argv[1:]
+
+    def selected(name):
+        return not want or any(w in name for w in want)
+
+    dev = jax.devices()[0]
+    hbm = _lookup(HBM_GBPS, dev, 50.0)
+    mxu = _lookup(MXU_BF16_TFLOPS, dev, 1.0)
+    results = []
+
+    rng = np.random.default_rng(0)
+    n, e, f = 262_144, 4_194_304, 128
+    deg = rng.integers(0, 2 * e // n, size=n)
+    deg = (deg * (e / max(deg.sum(), 1))).astype(np.int64)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    e_actual = int(rowptr[-1])
+    col = rng.integers(0, n, size=e_actual).astype(np.int32)
+    rp = jnp.asarray(rowptr)
+    msgs = jnp.asarray(rng.normal(size=(e_actual, f)).astype(np.float32))
+
+    # segment_sum_csr (pre-gathered messages -> per-row sums)
+    if selected('segment_sum_csr'):
+        def seg(m):
+            o = ops.segment_sum_csr(m, rp)
+            return jnp.pad(o, ((0, e_actual - n), (0, 0)))
+
+        t = _time(seg, msgs)
+        gbps = (e_actual * f * 4 + n * f * 4) / t / 1e9
+        results.append({'metric': 'segment_sum_csr_bandwidth',
+                        'value': round(gbps, 2), 'unit': 'GB/s',
+                        'vs_roofline': round(gbps / hbm, 4)})
+
+    # planned spmm (gather + reduce), f = 512
+    if selected('spmm') or selected('aggregation'):
+        f2 = 512
+        x2 = jnp.asarray(rng.normal(size=(n, f2)).astype(np.float32))
+        graph = ops.build_spmm_graph(rowptr, col)
+
+        def spmm_fn(x):
+            return ops.spmm(x, graph)
+
+        t = _time(spmm_fn, x2)
+        gbps = (e_actual * f2 * 4 + e_actual * 4 + n * f2 * 4) / t / 1e9
+        results.append({'metric': 'spmm_effective_bandwidth',
+                        'value': round(gbps, 2), 'unit': 'GB/s',
+                        'vs_roofline': round(gbps / hbm, 4)})
+        eps = e_actual / t / 1e9
+        results.append({'metric': 'aggregation_throughput',
+                        'value': round(eps, 3), 'unit': 'Gedges/s',
+                        'vs_roofline': None})
+
+    # segment_matmul (hetero per-relation transform): 8 relations, ragged
+    if selected('segment_matmul'):
+        g_cnt = 8
+        sizes = rng.multinomial(131_072, np.ones(g_cnt) / g_cnt)
+        ptr = np.zeros(g_cnt + 1, np.int64)
+        ptr[1:] = np.cumsum(sizes)
+        xs = jnp.asarray(
+            rng.normal(size=(int(ptr[-1]), 256)).astype(np.float32))
+        ws = jnp.asarray(
+            rng.normal(size=(g_cnt, 256, 256)).astype(np.float32) * 0.05)
+        ptr_j = jnp.asarray(ptr)
+
+        def segmm(x):
+            return ops.segment_matmul(x, ptr_j, ws)
+
+        t = _time(segmm, xs)
+        tflops = 2 * int(ptr[-1]) * 256 * 256 / t / 1e12
+        results.append({'metric': 'segment_matmul_compute',
+                        'value': round(tflops, 2), 'unit': 'TFLOP/s',
+                        'vs_roofline': round(tflops / mxu, 4)})
+
+    # scatter_sum with unsorted index
+    if selected('scatter_sum'):
+        idx = jnp.asarray(rng.integers(0, n, size=e_actual).astype(np.int32))
+
+        def sc(m):
+            o = ops.scatter_sum(m, idx, dim=0, dim_size=n)
+            return jnp.pad(o, ((0, e_actual - n), (0, 0)))
+
+        t = _time(sc, msgs)
+        gbps = (e_actual * f * 4 + n * f * 4) / t / 1e9
+        results.append({'metric': 'scatter_sum_bandwidth',
+                        'value': round(gbps, 2), 'unit': 'GB/s',
+                        'vs_roofline': round(gbps / hbm, 4)})
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == '__main__':
+    main()

