@@ -1,0 +1,147 @@
+"""Async mini-batch loader: host sampling pipeline feeding the device.
+
+SURVEY.md §7 hard part 6 — the reference has no loader (PyG's lives in
+torch_geometric); on TPU the host loop must sample at ~10⁶ nodes/s and
+keep the chip fed.  Design:
+
+* a thread pool runs ``neighbor_sample`` (the C++ engine releases the GIL
+  during the ctypes call, so workers genuinely overlap) + padding + host
+  feature slicing,
+* a bounded in-flight window of futures gives pipelined lookahead,
+* finished batches are shipped with ``jax.device_put`` (async) one step
+  ahead of consumption, so the transfer of batch ``i+1`` overlaps the
+  device step on batch ``i``.
+
+Every batch has identical shapes (static padding budget), so the consumer's
+jitted step function never retraces.
+"""
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from pyg_lib_tpu import sampler
+from pyg_lib_tpu.sampler.padding import budget_for, pad_sample_output
+
+__all__ = ['NeighborLoader']
+
+
+class NeighborLoader:
+    """Iterable over fixed-shape device mini-batches.
+
+    Args:
+        rowptr, col: graph CSR (host numpy).
+        x: ``[N, F]`` host features (numpy); sliced per batch.
+        y: ``[N]`` host labels (numpy); sliced per batch.
+        seeds: ``[S]`` seed node ids to iterate over (one epoch).
+        batch_size: seeds per mini-batch.
+        num_neighbors: per-hop fanouts (all >= 0 for a static budget).
+        max_nodes / max_edges: padding budget; default = worst case from
+            :func:`pyg_lib_tpu.sampler.padding.budget_for`.
+        num_workers: sampling threads.
+        lookahead: batches in flight ahead of the consumer.
+        rng: base seed; batch ``i`` of epoch ``e`` uses stream
+            ``rng + e * num_batches + i`` (fully reproducible).
+        device: optional JAX device / sharding passed to ``device_put``.
+        drop_last: drop the final ragged batch (default True — keeps the
+            batch dimension static).
+        sample_kwargs: forwarded to ``neighbor_sample``.
+    """
+
+    def __init__(self, rowptr, col, x, y, seeds, batch_size: int,
+                 num_neighbors: List[int],
+                 max_nodes: Optional[int] = None,
+                 max_edges: Optional[int] = None, num_workers: int = 2,
+                 lookahead: int = 2, rng: int = 0, device=None,
+                 drop_last: bool = True, **sample_kwargs):
+        self.rowptr = np.ascontiguousarray(rowptr, np.int64)
+        self.col = np.ascontiguousarray(col, np.int64)
+        self.x = np.asarray(x)
+        self.y = None if y is None else np.asarray(y)
+        self.seeds = np.asarray(seeds, np.int64)
+        self.batch_size = batch_size
+        self.num_neighbors = list(num_neighbors)
+        if max_nodes is None or max_edges is None:
+            bn, be = budget_for(batch_size, self.num_neighbors, slack=1.0)
+            max_nodes = max_nodes or bn
+            max_edges = max_edges or be
+        self.max_nodes = max_nodes
+        self.max_edges = max_edges
+        self.num_workers = num_workers
+        self.lookahead = max(lookahead, 1)
+        self.rng = rng
+        self.device = device
+        self.drop_last = drop_last
+        self.sample_kwargs = sample_kwargs
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        s = len(self.seeds)
+        return s // self.batch_size if self.drop_last else -(
+            -s // self.batch_size)
+
+    def _make_batch(self, seed_ids: np.ndarray, stream: int) -> Dict:
+        out = sampler.neighbor_sample(self.rowptr, self.col, seed_ids,
+                                      self.num_neighbors, rng=stream,
+                                      **self.sample_kwargs)
+        b = pad_sample_output(out, self.max_nodes, self.max_edges,
+                              num_seeds=len(seed_ids))
+        nodes = b.node_id
+        batch = {
+            'x': self.x[nodes].astype(self.x.dtype, copy=False),
+            'rowptr': b.rowptr,
+            'row': b.row,
+            'col': b.col,
+            'node_mask': b.node_mask,
+            'num_seeds': np.int32(len(seed_ids)),
+        }
+        if self.y is not None:
+            batch['y'] = self.y[nodes]  # consumer slices seeds / masks pads
+        return batch
+
+    def __iter__(self) -> Iterator[Dict]:
+        import jax
+
+        epoch = self._epoch
+        self._epoch += 1
+        order = np.random.default_rng(self.rng + 7919 * epoch).permutation(
+            len(self.seeds))
+        nb = len(self)
+        batches = [
+            self.seeds[order[i * self.batch_size:(i + 1) * self.batch_size]]
+            for i in range(nb)
+        ]
+
+        def put(host_batch):
+            if self.device is not None:
+                return jax.device_put(host_batch, self.device)
+            return jax.device_put(host_batch)
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            futures = []
+            submitted = 0
+
+            def submit_next():
+                nonlocal submitted
+                if submitted < nb:
+                    stream = self.rng + epoch * nb + submitted
+                    futures.append(
+                        pool.submit(self._make_batch, batches[submitted],
+                                    stream))
+                    submitted += 1
+
+            for _ in range(self.lookahead + 1):
+                submit_next()
+
+            staged = None  # device batch one step ahead
+            while futures or staged is not None:
+                if futures:
+                    host = futures.pop(0).result()
+                    submit_next()
+                    nxt = put(host)  # async H2D transfer
+                else:
+                    nxt = None
+                if staged is not None:
+                    yield staged
+                staged = nxt
