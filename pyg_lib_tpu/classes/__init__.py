@@ -11,7 +11,8 @@ import numpy as np
 
 from pyg_lib_tpu.sampler import hetero_neighbor_sample, neighbor_sample
 
-__all__ = ['HashMap', 'NeighborSampler', 'HeteroNeighborSampler']
+__all__ = ['HashMap', 'NeighborSampler', 'HeteroNeighborSampler',
+           'MetapathTracker']
 
 
 class HashMap:
@@ -131,3 +132,84 @@ class HeteroNeighborSampler:
             node_id = {t: v[:, 1] if v.ndim == 2 else v
                        for t, v in node_id.items()}
         return row, col, node_id, batch, eid, nnph, neph
+
+
+class MetapathTracker:
+    """Pre-computes the tree of possible metapaths for (edge_types x hops)
+    and expected vs reported sample counts per batch.
+
+    Counterpart of reference ``MetapathTracker``
+    (``csrc/classes/cpu/neighbor_sampler.h:14-56``, ctor
+    ``csrc/classes/cpu/neighbor_sampler.cpp:62-99``), used for balanced
+    sampling accounting in the class-based hetero sampler.  Edge types are
+    ``(src, rel, dst)`` tuples (no ``"src__rel__dst"`` mangling).
+    """
+
+    def __init__(self, edge_types, num_neighbors: Dict, seed_node_types):
+        self.edge_types = list(edge_types)
+        self.num_neighbors = {k: list(v) for k, v in num_neighbors.items()}
+        self.n_metapaths = 0
+        self.seed_metapaths: Dict[str, int] = {}
+        # rel edge type -> {src metapath id -> dst metapath id}
+        self.metapath_tree: Dict[tuple, Dict[int, int]] = {}
+        self.expected_sample_size: Dict[int, Dict[int, int]] = {}
+        self.reported_sample_size: Dict[int, Dict[int, int]] = {}
+
+        sampled: Dict[str, List[int]] = {}
+        for node_t in seed_node_types:
+            self.seed_metapaths[node_t] = self.n_metapaths
+            sampled[node_t] = [self.n_metapaths]
+            self.n_metapaths += 1
+        num_hops = max((len(v) for v in self.num_neighbors.values()),
+                       default=0)
+        for _ in range(num_hops):
+            source, sampled = sampled, {}
+            for edge_t in self.edge_types:
+                src_t, _, dst_t = edge_t
+                if src_t not in source:
+                    continue
+                for mp in source[src_t]:
+                    new_id = self.n_metapaths
+                    self.n_metapaths += 1
+                    sampled.setdefault(dst_t, []).append(new_id)
+                    self.metapath_tree.setdefault(edge_t, {})[mp] = new_id
+
+    def get_neighbor_metapath(self, metapath_id: int, edge_type) -> int:
+        return self.metapath_tree[edge_type][metapath_id]
+
+    def get_sample_size(self, batch_id: int, src_metapath_id: int,
+                        edge_type) -> int:
+        dst = self.get_neighbor_metapath(src_metapath_id, edge_type)
+        return self.expected_sample_size.get(batch_id, {}).get(dst, 0)
+
+    def report_sample_size(self, batch_id: int, metapath_id: int,
+                           n_sampled: int) -> None:
+        d = self.reported_sample_size.setdefault(batch_id, {})
+        d[metapath_id] = d.get(metapath_id, 0) + n_sampled
+
+    def get_reported_sample_size(self, batch_id: int,
+                                 metapath_id: int) -> int:
+        return self.reported_sample_size.get(batch_id, {}).get(
+            metapath_id, 0)
+
+    def init_batch(self, batch_id: int, node_t: str,
+                   batch_size: int) -> int:
+        seed_mp = self.seed_metapaths[node_t]
+        self.reported_sample_size.setdefault(batch_id,
+                                             {})[seed_mp] = batch_size
+        self.expected_sample_size.setdefault(batch_id,
+                                             {})[seed_mp] = batch_size
+        self._init_expected(seed_mp, batch_id, 0)
+        return seed_mp
+
+    def _init_expected(self, src_mp: int, batch_id: int, hop: int) -> None:
+        for edge_t, tree in self.metapath_tree.items():
+            if src_mp not in tree:
+                continue
+            dst_mp = tree[src_mp]
+            fanouts = self.num_neighbors.get(edge_t, [])
+            mult = fanouts[hop] if hop < len(fanouts) else 0
+            if mult > 0:
+                self.expected_sample_size[batch_id][dst_mp] = (
+                    mult * self.expected_sample_size[batch_id][src_mp])
+                self._init_expected(dst_mp, batch_id, hop + 1)
