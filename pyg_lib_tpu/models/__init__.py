@@ -11,6 +11,7 @@ pytree, ``*_forward`` is a pure jittable function over a
 from pyg_lib_tpu.models.gnn import (
     gat_forward,
     gcn_forward,
+    gcn_forward_spmm,
     init_gat,
     init_gcn,
     init_rgcn,
@@ -22,6 +23,7 @@ from pyg_lib_tpu.models.gnn import (
 __all__ = [
     'init_gcn',
     'gcn_forward',
+    'gcn_forward_spmm',
     'init_sage',
     'sage_forward',
     'init_gat',

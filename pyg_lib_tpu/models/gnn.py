@@ -195,3 +195,23 @@ def rgcn_forward(params: Dict, x: Array, row: Array, col: Array,
         if i < len(params['layers']) - 1:
             x = jax.nn.relu(x)
     return x
+
+
+def gcn_forward_spmm(params: Dict, x: Array, graph) -> Array:
+    """Full-graph GCN over a prebuilt :class:`pyg_lib_tpu.ops.SpmmGraph`.
+
+    Same math as :func:`gcn_forward` but the aggregation is the planned
+    fused gather+reduce (``ops.spmm``) — the production full-batch path
+    (bench.py headline).  ``graph.deg`` supplies the degrees.
+    """
+    from pyg_lib_tpu.ops import spmm
+
+    deg = graph.deg.astype(x.dtype)
+    inv_sqrt = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
+    for i, layer in enumerate(params['layers']):
+        h = jnp.dot(x, layer['w'], preferred_element_type=x.dtype)
+        agg = spmm(h * inv_sqrt[:, None], graph)
+        x = agg * inv_sqrt[:, None] + h * inv_sqrt[:, None]**2 + layer['b']
+        if i < len(params['layers']) - 1:
+            x = jax.nn.relu(x)
+    return x
