@@ -29,8 +29,25 @@ from pyg_lib_tpu import (classes, loader, models, ops, parallel, partition,
 from pyg_lib_tpu.home import get_home_dir, set_home_dir
 from pyg_lib_tpu._version import __version__
 
+
+def tpu_version() -> str:
+    """The TPU device kind JAX reports, or '' when no TPU is attached.
+
+    Parity with reference ``pyg_lib.cuda_version()``
+    (``pyg_lib/__init__.py:43-49``): a runtime probe of the accelerator
+    the library was loaded against.
+    """
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return ''
+    return dev.device_kind if dev.platform == 'tpu' else ''
+
 __all__ = [
     '__version__',
+    'tpu_version',
     'classes',
     'models',
     'ops',

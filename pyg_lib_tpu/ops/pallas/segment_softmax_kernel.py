@@ -1,0 +1,227 @@
+"""Fused CSR-grouped softmax — three chunked Pallas passes on the MXU/VPU.
+
+TPU-native counterpart of the reference fused sparse softmax kernel
+(reference ``pyg_lib/csrc/ops/cpu/softmax_kernel.cpp:55-155``: per-group
+max → exp/sum → normalise). The XLA composite costs ~6 scatter/gather
+passes (measured 10.6 GB/s effective at 2M×128 on v5e); this kernel runs
+over the MEGABLOCKS-style chunked layout of an :class:`SpmmPlan` instead:
+
+* **Pass 1 (row stats)**: per-row maxima via a *segmented Hillis–Steele
+  scan* along the chunk (9 ``pltpu.roll`` + masked-max steps — rows are
+  contiguous ranges, so segment ids come from the membership matrix), then
+  a one-hot "row-last-position" matmul extracts each row's partial max;
+  tiles accumulate a running max across their chunks.
+* **Pass 2 (exp-sums)**: ``e = exp(x − member @ rowmax)`` (a matmul
+  broadcasts the row max back to edges) and ``l += memberᵀ @ e``.
+* **Pass 3 (normalise)**: ``out = e · reciprocal(member @ l)``.
+
+The shift need not be the exact max (softmax is shift-invariant), so the
+bf16 selection matmuls are numerically safe; pad slots produce garbage in
+pad positions only, which the caller's unpad gather drops.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyg_lib_tpu.ops.pallas.spmm_chunked import PTR_SUB, TP, TR, SpmmPlan
+
+__all__ = ['segment_softmax_planned']
+
+NEG = -1e30  # finite -inf stand-in (0 * NEG stays finite in the matmuls)
+
+
+def _split_dot(m, vals, dims):
+    """bf16 hi/lo two-pass contraction reproducing ~f32 precision (the
+    membership/selection matrices are exactly representable in bf16)."""
+    hi = vals.astype(jnp.bfloat16)
+    lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jax.lax.dot_general(m, hi, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32) +
+            jax.lax.dot_general(m, lo, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32))
+
+
+def _member(ptr_block, c, chunk):
+    bounds = ptr_block[0:1, :]  # [1, TP]
+    lo = bounds[:, :TR]
+    hi = bounds[:, 1:TR + 1]
+    pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, TR), 0)
+    member = (pos >= lo) & (pos < hi)
+    return member, pos, hi
+
+
+def _rowmax_kernel(chunk_tile, ptr_ref, x_ref, out_ref):
+    c = pl.program_id(0)
+    chunk = x_ref.shape[0]
+    tile = chunk_tile[c]
+    prev = chunk_tile[jnp.maximum(c, 1) - 1]
+    is_first = jnp.logical_or(c == 0, tile != prev)
+
+    member, pos, hi = _member(ptr_ref[0], c, chunk)
+    x = jnp.where(jnp.any(member, axis=1, keepdims=True),
+                  x_ref[:].astype(jnp.float32), NEG)
+
+    # Segmented inclusive max-scan along the chunk. Segment id per edge =
+    # its row (from membership); out-of-tile slots get id -1. Operands are
+    # kept at full lane width (Mosaic rolls want (8,128)-tileable shapes).
+    f = x.shape[1]
+    rowid1 = jnp.max(
+        jnp.where(member,
+                  jax.lax.broadcasted_iota(jnp.int32, member.shape, 1), -1),
+        axis=1)  # [chunk]
+    rowid = jnp.broadcast_to(rowid1[:, None], (chunk, f))
+
+    def shift_down(a, k, fill):
+        # a[j-k] into slot j (static k) — pad+slice instead of pltpu.roll,
+        # which fails to compile on this toolchain.
+        top = jnp.full((k, f), fill, a.dtype)
+        return jnp.concatenate([top, a[:chunk - k]], axis=0)
+
+    k = 1
+    while k < chunk:
+        xs = shift_down(x, k, jnp.float32(NEG))
+        ids = shift_down(rowid, k, jnp.int32(-2))
+        ok = ids == rowid
+        x = jnp.where(ok, jnp.maximum(x, xs), x)
+        k *= 2
+
+    # Extract each row's last in-chunk position (partial row max).
+    last = member & (pos == jnp.minimum(hi, (c + 1) * chunk) - 1)
+    sel = last.astype(jnp.bfloat16)
+    dims = (((0, ), (0, )), ((), ()))
+    # One element per row -> exact selection by summation; bf16 rounding of
+    # the shift is fine (softmax is shift-invariant).
+    contrib = jax.lax.dot_general(sel, x.astype(jnp.bfloat16),
+                                  dimension_numbers=dims,
+                                  preferred_element_type=jnp.float32)
+    # Row-presence mask via a second matmul (a sublane-axis jnp.any fails
+    # to compile on this toolchain): cnt[r, :] = Σ_j last[j, r].
+    ones = jnp.ones((chunk, x.shape[1]), jnp.bfloat16)
+    cnt = jax.lax.dot_general(sel, ones, dimension_numbers=dims,
+                              preferred_element_type=jnp.float32)
+    contrib = jnp.where(cnt > 0.5, contrib, NEG)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] = jnp.maximum(out_ref[:], contrib)
+
+
+def _expsum_kernel(chunk_tile, ptr_ref, x_ref, rowmax_ref, out_ref):
+    c = pl.program_id(0)
+    chunk = x_ref.shape[0]
+    tile = chunk_tile[c]
+    prev = chunk_tile[jnp.maximum(c, 1) - 1]
+    is_first = jnp.logical_or(c == 0, tile != prev)
+
+    member, _, _ = _member(ptr_ref[0], c, chunk)
+    m = member.astype(jnp.bfloat16)
+    dims = (((0, ), (0, )), ((), ()))
+    shift = jax.lax.dot_general(
+        m, rowmax_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1, ), (0, )), ((), ())),
+        preferred_element_type=jnp.float32)  # [chunk, F]
+    e = jnp.where(jnp.any(member, axis=1, keepdims=True),
+                  jnp.exp(x_ref[:].astype(jnp.float32) - shift), 0.0)
+    contrib = _split_dot(m, e, dims)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+def _normalize_kernel(chunk_tile, ptr_ref, x_ref, rowmax_ref, l_ref,
+                      out_ref):
+    c = pl.program_id(0)
+    chunk = x_ref.shape[0]
+    member, _, _ = _member(ptr_ref[0], c, chunk)
+    m = member.astype(jnp.bfloat16)
+    bcast = (((1, ), (0, )), ((), ()))
+    shift = jax.lax.dot_general(m, rowmax_ref[:].astype(jnp.bfloat16),
+                                dimension_numbers=bcast,
+                                preferred_element_type=jnp.float32)
+    l = _split_dot(m, l_ref[:], bcast)
+    e = jnp.exp(x_ref[:].astype(jnp.float32) - shift)
+    out = e / jnp.maximum(l, 1e-38)
+    out_ref[:] = jnp.where(jnp.any(member, axis=1, keepdims=True), out,
+                           0.0).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _softmax_padded(x_padded, chunk_tile, tile_ptr, num_rows: int,
+                    chunk: int, interpret: bool = False):
+    e_pad, f = x_padded.shape
+    num_chunks = chunk_tile.shape[0]
+    num_tiles = tile_ptr.shape[0]
+    r_pad = num_tiles * TR
+
+    def specs(extra_tiles=()):
+        in_specs = [
+            pl.BlockSpec((1, PTR_SUB, TP), lambda c, ct: (ct[c], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, f), lambda c, ct: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        for _ in extra_tiles:
+            in_specs.append(
+                pl.BlockSpec((TR, f), lambda c, ct: (ct[c], 0),
+                             memory_space=pltpu.VMEM))
+        return in_specs
+
+    rowmax = pl.pallas_call(
+        lambda ct, p, x, o: _rowmax_kernel(ct, p, x, o),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(num_chunks, ), in_specs=specs(),
+            out_specs=pl.BlockSpec((TR, f), lambda c, ct: (ct[c], 0),
+                                   memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct((r_pad, f), jnp.float32),
+        interpret=interpret,
+    )(chunk_tile, tile_ptr, x_padded)
+
+    lsum = pl.pallas_call(
+        lambda ct, p, x, rm, o: _expsum_kernel(ct, p, x, rm, o),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(num_chunks, ),
+            in_specs=specs((1, )),
+            out_specs=pl.BlockSpec((TR, f), lambda c, ct: (ct[c], 0),
+                                   memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct((r_pad, f), jnp.float32),
+        interpret=interpret,
+    )(chunk_tile, tile_ptr, x_padded, rowmax)
+
+    out = pl.pallas_call(
+        lambda ct, p, x, rm, l, o: _normalize_kernel(ct, p, x, rm, l, o),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(num_chunks, ),
+            in_specs=specs((1, 2)),
+            out_specs=pl.BlockSpec((chunk, f), lambda c, ct: (c, 0),
+                                   memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct((e_pad, f), x_padded.dtype),
+        interpret=interpret,
+    )(chunk_tile, tile_ptr, x_padded, rowmax, lsum)
+    return out
+
+
+def segment_softmax_planned(x_padded: jax.Array, plan: SpmmPlan,
+                            interpret=None) -> jax.Array:
+    """Softmax over CSR rows, operating fully in padded-edge coordinates.
+
+    ``x_padded`` is ``[E_pad, F]`` (e.g. from ``jnp.take(x, plan.edge_perm)``
+    or attention scores computed on plan-gathered features); returns the
+    same shape with pad slots zeroed.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    return _softmax_padded(x_padded, plan.chunk_tile, plan.tile_ptr,
+                           plan.num_rows, plan.chunk, interpret)

@@ -54,6 +54,10 @@ class SpmmPlan(NamedTuple):
     num_rows: int
     num_edges: int
     chunk: int
+    # Optional (with_edge_maps=True): move per-edge VALUES between original
+    # and padded coordinates (for planned softmax / weighted aggregation).
+    edge_perm: Optional[jax.Array] = None  # [E_pad] orig edge per pad slot
+    edge_pos: Optional[jax.Array] = None  # [E] pad slot per orig edge
 
     @property
     def num_chunks(self) -> int:
@@ -95,13 +99,15 @@ def _build_padded_layout(rowptr: np.ndarray, chunk: int):
     return orig, valid, chunk_tile, tile_ptr
 
 
-def build_spmm_plan(rowptr, col, chunk: int = 512) -> SpmmPlan:
+def build_spmm_plan(rowptr, col, chunk: int = 512,
+                    with_edge_maps: bool = False) -> SpmmPlan:
     """Build the chunked schedule for ``out[r] = Σ x[col[e]]`` over CSR rows.
 
     One-time host preprocessing per graph (analogous to the reference
     requiring CSR construction up front). ``chunk`` trades padding waste
     (≤ ``chunk`` extra gathered rows per 128-row tile) against grid-step
-    overhead.
+    overhead. ``with_edge_maps`` additionally stores the orig↔padded edge
+    permutations used by the planned softmax / weighted-aggregation paths.
     """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col)
@@ -111,6 +117,13 @@ def build_spmm_plan(rowptr, col, chunk: int = 512) -> SpmmPlan:
                               0).astype(np.int32)
     else:
         col_padded = np.zeros(orig.shape[0], np.int32)
+    edge_perm = edge_pos = None
+    if with_edge_maps:
+        perm = np.where(valid, orig, 0).astype(np.int32)
+        pos = np.zeros(int(col.shape[0]), np.int32)
+        pos[orig[valid]] = np.nonzero(valid)[0].astype(np.int32)
+        edge_perm = jnp.asarray(perm)
+        edge_pos = jnp.asarray(pos)
     return SpmmPlan(
         col_padded=jnp.asarray(col_padded),
         chunk_tile=jnp.asarray(chunk_tile),
@@ -118,6 +131,8 @@ def build_spmm_plan(rowptr, col, chunk: int = 512) -> SpmmPlan:
         num_rows=int(rowptr.shape[0] - 1),
         num_edges=int(col.shape[0]),
         chunk=chunk,
+        edge_perm=edge_perm,
+        edge_pos=edge_pos,
     )
 
 

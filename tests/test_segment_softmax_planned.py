@@ -1,0 +1,83 @@
+"""Planned fused segment softmax vs numpy reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyg_lib_tpu.ops.pallas.segment_softmax_kernel import (
+    segment_softmax_planned, )
+from pyg_lib_tpu.ops.pallas.spmm_chunked import build_spmm_plan
+
+
+def _ref(src, rowptr):
+    ref = np.zeros_like(src)
+    for r in range(len(rowptr) - 1):
+        lo, hi = rowptr[r], rowptr[r + 1]
+        if hi > lo:
+            v = src[lo:hi] - src[lo:hi].max(0)
+            ex = np.exp(v)
+            ref[lo:hi] = ex / ex.sum(0)
+    return ref
+
+
+@pytest.mark.parametrize('n,e,f', [(300, 5000, 128), (64, 300, 128),
+                                   (1, 7, 128), (100, 0, 128)])
+def test_planned_softmax_matches_numpy(n, e, f):
+    rng = np.random.default_rng(0)
+    deg = rng.multinomial(e, np.ones(n) / n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = (rng.integers(0, n, size=e).astype(np.int32)
+           if e else np.zeros(0, np.int32))
+    src = (rng.normal(size=(e, f)) * 5).astype(np.float32)
+
+    plan = build_spmm_plan(rowptr, col, chunk=256, with_edge_maps=True)
+    xp = jnp.asarray(src)[plan.edge_perm] if e else jnp.zeros(
+        (plan.col_padded.shape[0], f), jnp.float32)
+    outp = segment_softmax_planned(xp, plan, interpret=True)
+    if e:
+        out = np.asarray(outp)[np.asarray(plan.edge_pos)]
+        np.testing.assert_allclose(out, _ref(src, rowptr), atol=2e-3,
+                                   rtol=2e-3)
+
+
+def test_planned_softmax_extreme_values():
+    # Per-row stability: rows far below the chunk max must not underflow.
+    rng = np.random.default_rng(1)
+    n, e, f = 16, 256, 128
+    deg = np.full(n, e // n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    src = rng.normal(size=(e, f)).astype(np.float32)
+    src[:16] += 200.0   # one row hugely above the rest
+    src[16:32] -= 200.0  # one row hugely below
+
+    plan = build_spmm_plan(rowptr, np.zeros(e, np.int32), chunk=256,
+                           with_edge_maps=True)
+    xp = jnp.asarray(src)[plan.edge_perm]
+    out = np.asarray(segment_softmax_planned(xp, plan, interpret=True))[
+        np.asarray(plan.edge_pos)]
+    np.testing.assert_allclose(out, _ref(src, rowptr), atol=2e-3, rtol=2e-3)
+    # every row sums to 1
+    for r in range(n):
+        np.testing.assert_allclose(out[rowptr[r]:rowptr[r + 1]].sum(0), 1.0,
+                                   atol=1e-3)
+
+
+def test_softmax_csr_public_grad_path():
+    # The public op (XLA path on CPU) still differentiates correctly.
+    from pyg_lib_tpu import ops
+
+    rng = np.random.default_rng(2)
+    rowptr = np.array([0, 3, 3, 7])
+    src = jnp.asarray(rng.normal(size=(7, 4)).astype(np.float32))
+
+    def f(s):
+        return jnp.sum(ops.softmax_csr(s, jnp.asarray(rowptr))**2)
+
+    g = jax.grad(f)(src)
+    eps = 1e-3
+    num = (f(src.at[(1, 2)].add(eps)) - f(src.at[(1, 2)].add(-eps))) / (
+        2 * eps)
+    assert np.isclose(float(g[1, 2]), float(num), rtol=1e-2, atol=1e-3)
