@@ -11,7 +11,9 @@ pytree, ``*_forward`` is a pure jittable function over a
 from pyg_lib_tpu.models.gnn import (
     gat_forward,
     gcn_forward,
+    gat_forward_spmm,
     gcn_forward_spmm,
+    init_gat_spmm,
     init_gat,
     init_gcn,
     init_rgcn,
@@ -28,6 +30,8 @@ __all__ = [
     'sage_forward',
     'init_gat',
     'gat_forward',
+    'init_gat_spmm',
+    'gat_forward_spmm',
     'init_rgcn',
     'rgcn_forward',
 ]

@@ -215,3 +215,55 @@ def gcn_forward_spmm(params: Dict, x: Array, graph) -> Array:
         if i < len(params['layers']) - 1:
             x = jax.nn.relu(x)
     return x
+
+
+def init_gat_spmm(key, dims: List[int], heads: int = 4) -> Dict:
+    """Planned-GAT parameters: per layer W [in, heads*out_h] and attention
+    vectors a_src/a_dst [heads, out_h]."""
+    layers = []
+    for i in range(len(dims) - 1):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        out_h = dims[i + 1] // heads
+        layers.append({
+            'w': _glorot(k1, (dims[i], heads * out_h)),
+            'a_src': _glorot(k2, (heads, out_h)),
+            'a_dst': _glorot(k3, (heads, out_h)),
+        })
+    return {'layers': layers}
+
+
+def gat_forward_spmm(params: Dict, x: Array, graph) -> Array:
+    """Full-graph GAT over a plan built ``with_edge_maps=True``.
+
+    Every per-edge stage runs in the plan's padded coordinates: one
+    feature gather in, fused Pallas softmax for the attention, and the
+    chunked membership-matmul kernel for the weighted aggregation — no
+    per-edge re-permutations (compare ``gat_forward``, the padded-batch
+    path).  The head count must divide 128's multiple with the head dim
+    so the packed width stays lane-aligned.
+    """
+    from pyg_lib_tpu.ops import segment_softmax_padded, segment_sum_padded
+
+    plan = graph.fwd
+    for i, layer in enumerate(params['layers']):
+        heads, out_h = layer['a_src'].shape
+        h = jnp.dot(x, layer['w'], preferred_element_type=x.dtype)
+        n, hf = h.shape
+        hh = h.reshape(n, heads, out_h)
+        s_src = jnp.einsum('nho,ho->nh', hh, layer['a_src'])
+        s_dst = jnp.einsum('nho,ho->nh', hh, layer['a_dst'])
+        # Padded-edge attention logits, one column block of 128 lanes per
+        # softmax invocation: tile the head logits across lanes.
+        logits = (jnp.take(s_src, plan.col_padded, axis=0) +
+                  jnp.take(s_dst, plan.row_padded, axis=0))  # [E_pad, H]
+        logits = jax.nn.leaky_relu(logits, negative_slope=0.2)
+        rep = max(128 // heads, 1)
+        alpha = segment_softmax_padded(
+            jnp.tile(logits, (1, rep)), plan)[:, :heads]  # [E_pad, H]
+        msgs = jnp.take(h, plan.col_padded, axis=0).reshape(
+            -1, heads, out_h)
+        msgs = (msgs * alpha[:, :, None]).reshape(-1, hf)
+        x = segment_sum_padded(msgs, plan)
+        if i < len(params['layers']) - 1:
+            x = jax.nn.elu(x)
+    return x

@@ -55,12 +55,16 @@ from pyg_lib_tpu.ops.segment_csr import (
 )
 from pyg_lib_tpu.ops.softmax import softmax_csr
 from pyg_lib_tpu.ops.spline import spline_basis, spline_weighting
-from pyg_lib_tpu.ops.spmm import SpmmGraph, build_spmm_graph, spmm
+from pyg_lib_tpu.ops.spmm import (SpmmGraph, build_spmm_graph,
+                                  segment_softmax_padded,
+                                  segment_sum_padded, spmm)
 
 __all__ = [
     'spmm',
     'build_spmm_graph',
     'SpmmGraph',
+    'segment_sum_padded',
+    'segment_softmax_padded',
     'grouped_matmul',
     'segment_matmul',
     'sampled_add',

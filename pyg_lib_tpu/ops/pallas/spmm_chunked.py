@@ -58,6 +58,7 @@ class SpmmPlan(NamedTuple):
     # and padded coordinates (for planned softmax / weighted aggregation).
     edge_perm: Optional[jax.Array] = None  # [E_pad] orig edge per pad slot
     edge_pos: Optional[jax.Array] = None  # [E] pad slot per orig edge
+    row_padded: Optional[jax.Array] = None  # [E_pad] dst row per pad slot
 
     @property
     def num_chunks(self) -> int:
@@ -117,13 +118,22 @@ def build_spmm_plan(rowptr, col, chunk: int = 512,
                               0).astype(np.int32)
     else:
         col_padded = np.zeros(orig.shape[0], np.int32)
-    edge_perm = edge_pos = None
+    edge_perm = edge_pos = row_padded = None
     if with_edge_maps:
         perm = np.where(valid, orig, 0).astype(np.int32)
         pos = np.zeros(int(col.shape[0]), np.int32)
         pos[orig[valid]] = np.nonzero(valid)[0].astype(np.int32)
         edge_perm = jnp.asarray(perm)
         edge_pos = jnp.asarray(pos)
+        num_rows = rowptr.shape[0] - 1
+        row_of_edge = np.repeat(np.arange(num_rows, dtype=np.int32),
+                                np.diff(rowptr).astype(np.int64))
+        if len(row_of_edge):
+            rp = np.where(valid, row_of_edge[np.minimum(
+                orig, len(row_of_edge) - 1)], 0).astype(np.int32)
+        else:
+            rp = np.zeros(orig.shape[0], np.int32)
+        row_padded = jnp.asarray(rp)
     return SpmmPlan(
         col_padded=jnp.asarray(col_padded),
         chunk_tile=jnp.asarray(chunk_tile),
@@ -133,6 +143,7 @@ def build_spmm_plan(rowptr, col, chunk: int = 512,
         chunk=chunk,
         edge_perm=edge_perm,
         edge_pos=edge_pos,
+        row_padded=row_padded,
     )
 
 
@@ -225,8 +236,10 @@ def _segment_sum_chunked(msgs_padded, chunk_tile, tile_ptr, num_rows: int,
 
 
 def segment_sum_chunked(msgs_padded: jax.Array, plan: SpmmPlan,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: Optional[bool] = None) -> jax.Array:
     """Reduce pre-gathered padded messages into ``[num_rows, F]`` sums."""
+    if interpret is None:  # Mosaic on TPU, interpreter elsewhere (tests)
+        interpret = jax.default_backend() != 'tpu'
     return _segment_sum_chunked(msgs_padded, plan.chunk_tile, plan.tile_ptr,
                                 plan.num_rows, plan.chunk, interpret)
 

@@ -31,7 +31,8 @@ from pyg_lib_tpu.ops.pallas.spmm_chunked import (
     spmm_plan_apply,
 )
 
-__all__ = ['SpmmGraph', 'build_spmm_graph', 'spmm']
+__all__ = ['SpmmGraph', 'build_spmm_graph', 'spmm',
+           'segment_sum_padded', 'segment_softmax_padded']
 
 
 class SpmmGraph(NamedTuple):
@@ -41,12 +42,18 @@ class SpmmGraph(NamedTuple):
     deg: jax.Array  # [num_rows] f32 row degrees (for reduce='mean')
 
 
-def build_spmm_graph(rowptr, col, chunk: int = 512) -> SpmmGraph:
-    """Host-side, one-time: build fwd and transpose SpMM plans."""
+def build_spmm_graph(rowptr, col, chunk: int = 512,
+                     with_edge_maps: bool = False) -> SpmmGraph:
+    """Host-side, one-time: build fwd and transpose SpMM plans.
+
+    ``with_edge_maps=True`` equips the forward plan for the padded-space
+    primitives (:func:`segment_sum_padded` / :func:`segment_softmax_padded`).
+    """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
     num_rows = rowptr.shape[0] - 1
-    fwd = build_spmm_plan(rowptr, col, chunk=chunk)
+    fwd = build_spmm_plan(rowptr, col, chunk=chunk,
+                          with_edge_maps=with_edge_maps)
 
     # Transpose graph by counting sort over col (num_cols == num_rows for
     # square adjacency; rectangular graphs pass the padded row space).
@@ -95,3 +102,61 @@ def spmm(x: jax.Array, graph: SpmmGraph, reduce: str = 'sum') -> jax.Array:
         raise ValueError(f"spmm reduce must be 'sum' or 'mean', "
                          f"got {reduce!r}")
     return out
+
+
+# -- padded-space primitives (for attention GNNs) -----------------------------
+#
+# These operate directly in a plan's padded edge coordinates, so a GAT layer
+# (gather -> attention logits -> per-row softmax -> weighted aggregation)
+# runs with ZERO per-edge re-permutations: one gather in, one tile write out.
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, ))
+def segment_sum_padded(msgs_padded: jax.Array, plan: SpmmPlan) -> jax.Array:
+    """``out[r] = Σ msgs_padded[slots of row r]`` via the chunked kernel.
+
+    Requires a plan built ``with_edge_maps=True``. Differentiable: the
+    backward broadcast is ``g[row_padded]``.
+    """
+    from pyg_lib_tpu.ops.pallas.spmm_chunked import segment_sum_chunked
+
+    return segment_sum_chunked(msgs_padded, plan)
+
+
+def _ssp_fwd(msgs_padded, plan):
+    return segment_sum_padded(msgs_padded, plan), None
+
+
+def _ssp_bwd(plan, _, g):
+    return (jnp.take(g, plan.row_padded, axis=0), )
+
+
+segment_sum_padded.defvjp(_ssp_fwd, _ssp_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, ))
+def segment_softmax_padded(x_padded: jax.Array,
+                           plan: SpmmPlan) -> jax.Array:
+    """Per-row softmax in padded edge coordinates (fused Pallas kernel).
+
+    Backward is the fused closed form ``out * (g - Σ_row(out·g))``
+    (reference ``csrc/ops/cpu/softmax_kernel.cpp:207-227``), with the row
+    sums going through :func:`segment_sum_padded`.
+    """
+    from pyg_lib_tpu.ops.pallas.segment_softmax_kernel import (
+        segment_softmax_planned, )
+
+    return segment_softmax_planned(x_padded, plan)
+
+
+def _ssm_fwd(x_padded, plan):
+    out = segment_softmax_padded(x_padded, plan)
+    return out, out
+
+
+def _ssm_bwd(plan, out, g):
+    s = segment_sum_padded(out * g, plan)
+    return (out * (g - jnp.take(s, plan.row_padded, axis=0)), )
+
+
+segment_softmax_padded.defvjp(_ssm_fwd, _ssm_bwd)

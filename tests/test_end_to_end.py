@@ -46,3 +46,77 @@ def test_gcn_spmm_matches_padded_csr_path():
     b = gcn_forward(params, x, jnp.asarray(rowptr), jnp.asarray(col))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
                                rtol=2e-4)
+
+
+def test_gat_spmm_trains_on_sbm():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pyg_lib_tpu import ops
+    from pyg_lib_tpu.datasets import sbm_graph
+    from pyg_lib_tpu.models import gat_forward_spmm, init_gat_spmm
+
+    d = sbm_graph(num_nodes=300, num_classes=3, seed=2)
+    graph = ops.build_spmm_graph(d['rowptr'], d['col'], chunk=256,
+                                 with_edge_maps=True)
+    x = jnp.asarray(d['x'])
+    y = jnp.asarray(d['y'].astype(np.int32))
+    train = jnp.asarray(d['train_mask'])
+
+    params = init_gat_spmm(jax.random.key(0), [d['x'].shape[1], 16, 3],
+                           heads=1)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = gat_forward_spmm(p, x, graph)
+            logp = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+            return jnp.where(train, nll, 0).sum() / train.sum()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(20):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_padded_softmax_sum_grads_numeric():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyg_lib_tpu import ops
+
+    rng = np.random.default_rng(0)
+    n, e = 40, 300
+    deg = rng.multinomial(e, np.ones(n) / n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=e).astype(np.int32)
+    graph = ops.build_spmm_graph(rowptr, col, chunk=256,
+                                 with_edge_maps=True)
+    plan = graph.fwd
+    xp = jnp.asarray(rng.normal(size=(plan.col_padded.shape[0],
+                                      128)).astype(np.float32))
+
+    def f(a):
+        sm = ops.segment_softmax_padded(a, plan)
+        return jnp.sum(ops.segment_sum_padded(sm * a, plan)**2)
+
+    g = jax.grad(f)(xp)
+    eps = 1e-2
+    # pick a real (non-pad) slot
+    slot = int(np.asarray(plan.edge_pos)[5])
+    idx = (slot, 3)
+    num = (f(xp.at[idx].add(eps)) - f(xp.at[idx].add(-eps))) / (2 * eps)
+    assert np.isclose(float(g[idx]), float(num), rtol=2e-2, atol=2e-2)
