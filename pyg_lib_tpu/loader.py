@@ -24,7 +24,7 @@ import numpy as np
 from pyg_lib_tpu import sampler
 from pyg_lib_tpu.sampler.padding import budget_for, pad_sample_output
 
-__all__ = ['NeighborLoader']
+__all__ = ['NeighborLoader', 'HeteroNeighborLoader']
 
 
 class NeighborLoader:
@@ -145,3 +145,88 @@ class NeighborLoader:
                 if staged is not None:
                     yield staged
                 staged = nxt
+
+
+class HeteroNeighborLoader:
+    """Async hetero mini-batch loader (R-GCN layout).
+
+    Same pipeline as :class:`NeighborLoader` — thread-pool C++ hetero
+    sampling, fixed-shape :class:`PaddedHeteroBatch` flattening, async
+    ``device_put`` one step ahead — over per-edge-type CSR dicts.
+
+    Args:
+        rowptr_dict / col_dict: per-edge-type CSR (host numpy).
+        x_dict: node-type -> [N_t, F] host features (a shared F).
+        seed_type / seeds: seed node type and ids for one epoch.
+        num_neighbors_dict: per-edge-type fanouts.
+        node_budgets / max_edges: static padding budgets.
+    """
+
+    def __init__(self, rowptr_dict, col_dict, x_dict, y_dict, seed_type,
+                 seeds, batch_size: int, num_neighbors_dict,
+                 node_budgets: Dict[str, int], max_edges: int,
+                 num_workers: int = 2, lookahead: int = 2, rng: int = 0,
+                 device=None, drop_last: bool = True, **sample_kwargs):
+        from pyg_lib_tpu.sampler.padding import pad_hetero_sample_output
+
+        self._pad = pad_hetero_sample_output
+        self.rowptr_dict = {k: np.ascontiguousarray(v, np.int64)
+                            for k, v in rowptr_dict.items()}
+        self.col_dict = {k: np.ascontiguousarray(v, np.int64)
+                         for k, v in col_dict.items()}
+        self.x_dict = {t: np.asarray(v) for t, v in x_dict.items()}
+        self.y_dict = (None if y_dict is None else
+                       {t: np.asarray(v) for t, v in y_dict.items()})
+        self.seed_type = seed_type
+        self.seeds = np.asarray(seeds, np.int64)
+        self.batch_size = batch_size
+        self.num_neighbors_dict = {k: list(v)
+                                   for k, v in num_neighbors_dict.items()}
+        self.node_budgets = dict(node_budgets)
+        self.max_edges = max_edges
+        self.num_workers = num_workers
+        self.lookahead = max(lookahead, 1)
+        self.rng = rng
+        self.device = device
+        self.drop_last = drop_last
+        self.sample_kwargs = sample_kwargs
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        s = len(self.seeds)
+        return s // self.batch_size if self.drop_last else -(
+            -s // self.batch_size)
+
+    def _make_batch(self, seed_ids: np.ndarray, stream: int) -> Dict:
+        from pyg_lib_tpu import sampler as S
+
+        out = S.hetero_neighbor_sample(self.rowptr_dict, self.col_dict,
+                                       {self.seed_type: seed_ids},
+                                       self.num_neighbors_dict, rng=stream,
+                                       **self.sample_kwargs)
+        b = self._pad(out, self.node_budgets, self.max_edges)
+        feat_dim = next(iter(self.x_dict.values())).shape[1]
+        n_flat = b.num_flat_nodes
+        x = np.zeros((n_flat, feat_dim), np.float32)
+        for t, off in b.type_offset.items():
+            bt = self.node_budgets[t]
+            x[off:off + bt] = self.x_dict[t][b.node_id[t]]
+        batch = {
+            'x': x,
+            'row': b.row,
+            'col': b.col,
+            'rel_ptr': b.rel_ptr,
+            'edge_mask': b.edge_mask,
+            'node_mask': np.concatenate(
+                [b.node_mask[t] for t in b.type_offset]),
+            'num_seeds': np.int32(len(seed_ids)),
+        }
+        if self.y_dict is not None and self.seed_type in self.y_dict:
+            off = b.type_offset[self.seed_type]
+            batch['y'] = self.y_dict[self.seed_type][b.node_id[
+                self.seed_type]]
+            batch['seed_offset'] = np.int32(off)
+        return batch
+
+    # Reuse NeighborLoader's pipelined iteration verbatim.
+    __iter__ = NeighborLoader.__iter__

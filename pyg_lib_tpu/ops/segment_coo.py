@@ -39,6 +39,13 @@ def _coo_dim(index: Array) -> int:
     return index.ndim - 1
 
 
+def _coo_to_indptr(index: Array, dim_size: int) -> Array:
+    """Sorted COO index -> CSR indptr in O(R log E) (one searchsorted)."""
+    return jnp.searchsorted(index, jnp.arange(dim_size + 1,
+                                              dtype=index.dtype),
+                            side='left').astype(jnp.int32)
+
+
 def segment_sum_coo(
     src: Array,
     index: Array,
@@ -46,10 +53,22 @@ def segment_sum_coo(
     dim_size: Optional[int] = None,
 ) -> Array:
     """Parity: reference ``segment_sum_coo``
-    (``pyg_lib/ops/__init__.py:502-530``)."""
+    (``pyg_lib/ops/__init__.py:502-530``).
+
+    Sorted indices are equivalent to a CSR, so the reduction routes
+    through :func:`pyg_lib_tpu.ops.segment_sum_csr` (Pallas membership-
+    matmul kernel on TPU; ~2x XLA's sorted scatter-add) via one
+    ``searchsorted``.
+    """
     if index.ndim > 1:
         raise NotImplementedError(
             'multi-dimensional COO index: use vmap over leading axes')
+    if src.ndim == 2 and index.ndim == 1 and src.shape[0] == index.shape[0]:
+        from pyg_lib_tpu.ops.segment_csr import segment_sum_csr
+
+        n = infer_dim_size(index, dim_size)
+        indptr = _coo_to_indptr(index, n)
+        return segment_sum_csr(src, indptr, out)
     return scatter_sum(src, index, _coo_dim(index), out, dim_size)
 
 

@@ -72,3 +72,57 @@ def test_loader_feeds_jitted_step():
     vals = [float(step(b['x'], b['rowptr'], b['row'])) for b in loader]
     assert len(vals) == 4 and all(np.isfinite(v) for v in vals)
     assert traces == 1  # static shapes -> single trace
+
+
+def test_hetero_loader_shapes_and_step():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pyg_lib_tpu import ops
+    from pyg_lib_tpu.loader import HeteroNeighborLoader
+
+    rng = np.random.default_rng(0)
+
+    def csr(ns, nd, d):
+        deg = rng.integers(0, 2 * d, size=ns)
+        rp = np.zeros(ns + 1, np.int64)
+        rp[1:] = np.cumsum(deg)
+        return rp, rng.integers(0, nd, size=int(rp[-1])).astype(np.int64)
+
+    rowptr_d, col_d = {}, {}
+    for k, (ns, nd, d) in {
+            ('paper', 'cites', 'paper'): (100, 100, 3),
+            ('paper', 'has', 'author'): (100, 50, 2),
+            ('author', 'writes', 'paper'): (50, 100, 2),
+    }.items():
+        rowptr_d[k], col_d[k] = csr(ns, nd, d)
+
+    x_dict = {'paper': rng.normal(size=(100, 8)).astype(np.float32),
+              'author': rng.normal(size=(50, 8)).astype(np.float32)}
+    y_dict = {'paper': rng.integers(0, 3, size=100).astype(np.int32)}
+
+    loader = HeteroNeighborLoader(
+        rowptr_d, col_d, x_dict, y_dict, seed_type='paper',
+        seeds=np.arange(32), batch_size=8,
+        num_neighbors_dict={k: [2, 2] for k in rowptr_d},
+        node_budgets={'paper': 128, 'author': 64}, max_edges=256,
+        num_workers=2, rng=3)
+
+    batches = list(loader)
+    assert len(batches) == 4
+    shapes = {k: np.asarray(v).shape for k, v in batches[0].items()}
+    for b in batches[1:]:
+        assert {k: np.asarray(v).shape for k, v in b.items()} == shapes
+
+    weights = jnp.asarray(rng.normal(size=(3, 8, 4)).astype(np.float32))
+
+    @jax.jit
+    def step(b):
+        h = ops.segment_matmul(
+            jnp.take(b['x'], jnp.minimum(b['row'], b['x'].shape[0] - 1),
+                     axis=0) * b['edge_mask'][:, None],
+            b['rel_ptr'], weights)
+        return h.sum()
+
+    vals = [float(step(b)) for b in batches]
+    assert all(np.isfinite(v) for v in vals)
