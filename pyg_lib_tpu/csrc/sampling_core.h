@@ -60,9 +60,12 @@ struct Mapper {
     return ((uint64_t)(uint32_t)batch << 40) ^ (uint64_t)node;
   }
 
-  // Returns (local_id, inserted).
+  // Returns (local_id, inserted). Nodes outside [0, num_nodes) — possible
+  // when the caller's node-count estimate undershoots (e.g. hetero seed
+  // ids beyond every edge endpoint) — fall through to the hashmap instead
+  // of indexing past the dense vector.
   inline std::pair<int64_t, bool> insert(int64_t batch, int64_t node) {
-    if (use_vec) {
+    if (use_vec && node >= 0 && node < (int64_t)vec.size()) {
       int64_t& slot = vec[(size_t)node];
       if (slot >= 0) return {slot, false};
       slot = count++;

@@ -86,7 +86,9 @@ class NeighborLoader:
                                       self.num_neighbors, rng=stream,
                                       **self.sample_kwargs)
         b = pad_sample_output(out, self.max_nodes, self.max_edges,
-                              num_seeds=len(seed_ids))
+                              num_seeds=len(seed_ids),
+                              disjoint=self.sample_kwargs.get(
+                                  'disjoint', False))
         nodes = b.node_id
         batch = {
             'x': self.x[nodes].astype(self.x.dtype, copy=False),
@@ -96,6 +98,8 @@ class NeighborLoader:
             'node_mask': b.node_mask,
             'num_seeds': np.int32(len(seed_ids)),
         }
+        if b.batch is not None:
+            batch['batch'] = b.batch
         if self.y is not None:
             batch['y'] = self.y[nodes]  # consumer slices seeds / masks pads
         return batch
@@ -204,7 +208,9 @@ class HeteroNeighborLoader:
                                        {self.seed_type: seed_ids},
                                        self.num_neighbors_dict, rng=stream,
                                        **self.sample_kwargs)
-        b = self._pad(out, self.node_budgets, self.max_edges)
+        b = self._pad(out, self.node_budgets, self.max_edges,
+                      csc=self.sample_kwargs.get('csc', False),
+                      disjoint=self.sample_kwargs.get('disjoint', False))
         feat_dim = next(iter(self.x_dict.values())).shape[1]
         n_flat = b.num_flat_nodes
         x = np.zeros((n_flat, feat_dim), np.float32)

@@ -106,15 +106,9 @@ def _kernel(tile_start, ptr_vmem, msgs_hbm, out_ref, acc, buf, sems):
         # two 1-pass bf16 MXU products reproduce ~f32 precision at 1/3 the
         # MXU cost of a 6-pass f32 matmul (the kernel's compute bound).
         m = member.astype(jnp.bfloat16)  # [CHUNK, TR]
-        data = buf[slot]
-        data_hi = data.astype(jnp.bfloat16)
-        data_lo = (data - data_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        from pyg_lib_tpu.ops.pallas.spmm_chunked import split_dot
         dims = (((0, ), (0, )), ((), ()))
-        acc[:] += (jax.lax.dot_general(
-            m, data_hi, dimension_numbers=dims,
-            preferred_element_type=jnp.float32) + jax.lax.dot_general(
-                m, data_lo, dimension_numbers=dims,
-                preferred_element_type=jnp.float32))  # [TR, F]
+        acc[:] += split_dot(m, buf[slot], dims)  # [TR, F]
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)

@@ -27,22 +27,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pyg_lib_tpu.ops.pallas.spmm_chunked import PTR_SUB, TP, TR, SpmmPlan
+from pyg_lib_tpu.ops.pallas.spmm_chunked import (PTR_SUB, TP, TR, SpmmPlan,
+                                                 split_dot)
 
 __all__ = ['segment_softmax_planned']
 
 NEG = -1e30  # finite -inf stand-in (0 * NEG stays finite in the matmuls)
-
-
-def _split_dot(m, vals, dims):
-    """bf16 hi/lo two-pass contraction reproducing ~f32 precision (the
-    membership/selection matrices are exactly representable in bf16)."""
-    hi = vals.astype(jnp.bfloat16)
-    lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return (jax.lax.dot_general(m, hi, dimension_numbers=dims,
-                                preferred_element_type=jnp.float32) +
-            jax.lax.dot_general(m, lo, dimension_numbers=dims,
-                                preferred_element_type=jnp.float32))
 
 
 def _member(ptr_block, c, chunk):
@@ -130,7 +120,7 @@ def _expsum_kernel(chunk_tile, ptr_ref, x_ref, rowmax_ref, out_ref):
         preferred_element_type=jnp.float32)  # [chunk, F]
     e = jnp.where(jnp.any(member, axis=1, keepdims=True),
                   jnp.exp(x_ref[:].astype(jnp.float32) - shift), 0.0)
-    contrib = _split_dot(m, e, dims)
+    contrib = split_dot(m, e, dims)
 
     @pl.when(is_first)
     def _():
@@ -151,7 +141,7 @@ def _normalize_kernel(chunk_tile, ptr_ref, x_ref, rowmax_ref, l_ref,
     shift = jax.lax.dot_general(m, rowmax_ref[:].astype(jnp.bfloat16),
                                 dimension_numbers=bcast,
                                 preferred_element_type=jnp.float32)
-    l = _split_dot(m, l_ref[:], bcast)
+    l = split_dot(m, l_ref[:], bcast)
     e = jnp.exp(x_ref[:].astype(jnp.float32) - shift)
     out = e / jnp.maximum(l, 1e-38)
     out_ref[:] = jnp.where(jnp.any(member, axis=1, keepdims=True), out,

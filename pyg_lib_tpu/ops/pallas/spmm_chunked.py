@@ -38,12 +38,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     'SpmmPlan', 'build_spmm_plan', 'spmm_plan_apply',
-    'segment_sum_chunked',
+    'segment_sum_chunked', 'split_dot',
 ]
 
 TR = 128  # output rows per tile
 TP = 256  # lane-padded row-pointer row (TR+1 rounded up to lane multiple)
 PTR_SUB = 8  # sublane replication for the per-tile pointer table
+
+
+def split_dot(m, vals, dims):
+    """bf16 hi/lo two-pass MXU contraction reproducing ~f32 precision.
+
+    ``m`` must be exactly representable in bf16 (membership / one-hot
+    selection matrices are). Shared by the chunked-sum, segment-CSR and
+    segment-softmax kernels.
+    """
+    hi = vals.astype(jnp.bfloat16)
+    lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jax.lax.dot_general(m, hi, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32) +
+            jax.lax.dot_general(m, lo, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32))
 
 
 class SpmmPlan(NamedTuple):
@@ -174,14 +189,7 @@ def _chunked_kernel(chunk_tile, ptr_ref, msgs_ref, out_ref):
         contrib = jax.lax.dot_general(m, data, dimension_numbers=dims,
                                       preferred_element_type=jnp.float32)
     else:
-        data = data.astype(jnp.float32)
-        data_hi = data.astype(jnp.bfloat16)
-        data_lo = (data - data_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        contrib = (jax.lax.dot_general(
-            m, data_hi, dimension_numbers=dims,
-            preferred_element_type=jnp.float32) + jax.lax.dot_general(
-                m, data_lo, dimension_numbers=dims,
-                preferred_element_type=jnp.float32))
+        contrib = split_dot(m, data.astype(jnp.float32), dims)
 
     @pl.when(is_first)
     def _():

@@ -93,14 +93,18 @@ def spmm(x: jax.Array, graph: SpmmGraph, reduce: str = 'sum') -> jax.Array:
     (``pyg_lib/ops/__init__.py:816-835``) but gather-fused and planned.
     ``reduce`` in {'sum', 'mean'}; min/max go through
     :func:`pyg_lib_tpu.ops.segment_csr`.
+
+    Close over ``graph`` in jitted functions (as the examples do) rather
+    than passing it through the jit boundary as an argument: plans ride
+    ``custom_vjp`` nondiff slots, which must stay concrete.
     """
+    if reduce not in ('sum', 'add', 'mean'):
+        raise ValueError(
+            f"spmm reduce must be 'sum', 'add' or 'mean', got {reduce!r}")
     out = _spmm_sum(x, graph)
     if reduce == 'mean':
         d = jnp.maximum(graph.deg, 1.0).astype(out.dtype)
         out = out / d[:, None]
-    elif reduce not in ('sum', 'add'):
-        raise ValueError(f"spmm reduce must be 'sum' or 'mean', "
-                         f"got {reduce!r}")
     return out
 
 

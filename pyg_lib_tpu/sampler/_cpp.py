@@ -21,6 +21,18 @@ _lib = None
 _tried = False
 
 
+def _stale() -> bool:
+    """True when any C++ source is newer than the built library."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for name in os.listdir(_CSRC):
+        if name.endswith(('.cpp', '.h')):
+            if os.path.getmtime(os.path.join(_CSRC, name)) > lib_mtime:
+                return True
+    return False
+
+
 def _build() -> bool:
     try:
         subprocess.run(['make', '-C', _CSRC], check=True,
@@ -38,7 +50,7 @@ def get_lib():
     _tried = True
     if os.environ.get('PYGT_DISABLE_CPP'):
         return None
-    if not os.path.exists(_LIB_PATH) and not _build():
+    if _stale() and not _build():
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -208,6 +220,17 @@ def hetero_neighbor_sample_cpp(
     lib = get_lib()
     assert lib is not None
 
+    # Convert dict values FIRST and fingerprint the converted arrays: the
+    # cached _HeteroGraphCpp holds references to exactly these arrays, so
+    # their data pointers cannot be reused while the entry lives. Callers
+    # must treat graph arrays as immutable (in-place edits are not seen).
+    conv = lambda d: None if d is None else {
+        k: np.asarray(v) for k, v in d.items()}
+    rowptr_dict = conv(rowptr_dict)
+    col_dict = conv(col_dict)
+    node_time_dict = conv(node_time_dict)
+    edge_time_dict = conv(edge_time_dict)
+    edge_weight_dict = conv(edge_weight_dict)
     fp = _hetero_fingerprint(rowptr_dict, col_dict, tuple(seed_dict), csc,
                              node_time_dict, edge_time_dict,
                              edge_weight_dict)
@@ -323,7 +346,6 @@ def _hetero_build(self, rowptr_dict, col_dict, seed_types, csc,
     self.node_time_cat = node_time_cat
     self.node_time_off = node_time_off
     self.has_node_time = has_node_time
-    self.cat = staticmethod(cat)
 
 
 _HeteroGraphCpp.build = _hetero_build
@@ -360,6 +382,11 @@ def _hetero_sample_run(lib, g, seed_dict, num_neighbors_dict, seed_time_dict,
         st_arrs = []
         for t in node_types:
             st = seed_times_per_type[t]
+            if st is None and len(seeds_per_type[t]):
+                # Match the numpy specification, which raises for seed
+                # types missing from seed_time_dict (_hetero_impl.py).
+                raise KeyError(
+                    f'seed_time_dict is missing seed node type {t!r}')
             st_arrs.append(st if st is not None else np.zeros(
                 len(seeds_per_type[t]), np.int64))
         seed_time_cat, _ = cat(st_arrs, np.int64)
