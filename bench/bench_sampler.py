@@ -96,5 +96,36 @@ def main():
     }))
 
 
+
+
+
+def bench_graph_ops():
+    rowptr, col = powerlaw_graph(num_nodes=1_000_000, avg_degree=15, seed=4)
+    rng = np.random.default_rng(5)
+
+    # induced subgraph on 1% of nodes (reference benchmark/sampler/subgraph.py)
+    nodes = np.sort(rng.choice(1_000_000, size=10_000, replace=False))
+    sampler.subgraph(rowptr, col, nodes)  # warmup
+    start = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        sampler.subgraph(rowptr, col, nodes)
+    dt = (time.perf_counter() - start) / iters
+    print(json.dumps({'metric': 'subgraph_1pct', 'value': round(dt * 1e3, 2),
+                      'unit': 'ms'}))
+
+    # random walks (reference sampler/random_walk benchmarks)
+    seeds = rng.choice(1_000_000, size=10_000, replace=False)
+    sampler.random_walk(rowptr, col, seeds, walk_length=20, rng=0)
+    start = time.perf_counter()
+    for i in range(iters):
+        sampler.random_walk(rowptr, col, seeds, walk_length=20, rng=i)
+    dt = (time.perf_counter() - start) / iters
+    steps = 10_000 * 20
+    print(json.dumps({'metric': 'random_walk', 'value':
+                      round(steps / dt / 1e6, 2), 'unit': 'Msteps/s'}))
+
+
 if __name__ == '__main__':
     main()
+    bench_graph_ops()
