@@ -55,12 +55,13 @@ from pyg_lib_tpu.ops.segment_csr import (
 )
 from pyg_lib_tpu.ops.softmax import softmax_csr
 from pyg_lib_tpu.ops.spline import spline_basis, spline_weighting
-from pyg_lib_tpu.ops.spmm import (SpmmGraph, build_spmm_graph,
+from pyg_lib_tpu.ops.spmm import (SpmmGraph, build_spmm_graph, sddmm,
                                   segment_softmax_padded,
                                   segment_sum_padded, spmm)
 
 __all__ = [
     'spmm',
+    'sddmm',
     'build_spmm_graph',
     'SpmmGraph',
     'segment_sum_padded',

@@ -31,7 +31,7 @@ from pyg_lib_tpu.ops.pallas.spmm_chunked import (
     spmm_plan_apply,
 )
 
-__all__ = ['SpmmGraph', 'build_spmm_graph', 'spmm',
+__all__ = ['SpmmGraph', 'build_spmm_graph', 'spmm', 'sddmm',
            'segment_sum_padded', 'segment_softmax_padded']
 
 
@@ -164,3 +164,22 @@ def _ssm_bwd(plan, out, g):
 
 
 segment_softmax_padded.defvjp(_ssm_fwd, _ssm_bwd)
+
+
+def sddmm(x: jax.Array, y: jax.Array, graph: SpmmGraph) -> jax.Array:
+    """Sampled dense-dense matmul: ``out[e] = <x[row_e], y[col_e]>``.
+
+    The SpMM's dual (BASELINE.md names the pair): per-edge scores from
+    node embeddings, e.g. attention logits or link predictions. Runs in
+    the plan's padded coordinates (requires ``with_edge_maps=True``) and
+    returns ``[num_edges]`` in original edge order. Gathers are the cost
+    (transaction-bound, see ``pallas/spmm_chunked.py``); the contraction
+    fuses into them. Differentiable via plain JAX AD.
+    """
+    plan = graph.fwd
+    if plan.row_padded is None:
+        raise ValueError('sddmm needs build_spmm_graph(with_edge_maps=True)')
+    xs = jnp.take(x, plan.row_padded, axis=0)
+    ys = jnp.take(y, plan.col_padded, axis=0)
+    scores = jnp.sum(xs * ys, axis=-1)
+    return jnp.take(scores, plan.edge_pos, axis=0)

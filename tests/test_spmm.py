@@ -93,3 +93,21 @@ def test_spmm_jit_stability():
     a = fn(x)
     b = fn(x * 2.0)
     np.testing.assert_allclose(np.asarray(b), 2 * np.asarray(a), rtol=1e-5)
+
+
+def test_sddmm_matches_reference_and_grads():
+    rng = np.random.default_rng(9)
+    rowptr, col = _random_csr(rng, 120, 1500)
+    x = rng.normal(size=(120, 64)).astype(np.float32)
+    y = rng.normal(size=(120, 64)).astype(np.float32)
+    graph = ops.build_spmm_graph(rowptr, col, chunk=256,
+                                 with_edge_maps=True)
+
+    out = np.asarray(ops.sddmm(jnp.asarray(x), jnp.asarray(y), graph))
+    rows = np.repeat(np.arange(120), np.diff(rowptr))
+    ref = np.sum(x[rows] * y[col], axis=-1)
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+    g = jax.grad(lambda a, b: jnp.sum(ops.sddmm(a, b, graph)**2),
+                 argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
+    assert all(bool(jnp.isfinite(t).all()) for t in g)
