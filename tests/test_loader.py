@@ -126,3 +126,24 @@ def test_hetero_loader_shapes_and_step():
 
     vals = [float(step(b)) for b in batches]
     assert all(np.isfinite(v) for v in vals)
+
+
+def test_loader_disjoint_and_weighted():
+    import numpy as np
+    rowptr, col = _graph(seed=7)
+    n = 200
+    x = np.zeros((n, 4), np.float32)
+    ew = np.random.default_rng(0).uniform(0.1, 1.0, size=int(rowptr[-1]))
+
+    loader = NeighborLoader(rowptr, col, x, None, seeds=np.arange(32),
+                            batch_size=8, num_neighbors=[3, 2],
+                            rng=2, disjoint=True, edge_weight=ew)
+    batches = list(loader)
+    assert len(batches) == 4
+    for b in batches:
+        bb = np.asarray(b['batch'])
+        mask = np.asarray(b['node_mask'])
+        # seeds own batches 0..7 in order; every real node has a valid batch
+        assert bb[:8].tolist() == list(range(8))
+        assert (bb[mask] >= 0).all() and (bb[mask] < 8).all()
+        assert b['x'].ndim == 2  # features indexed by plain node ids
