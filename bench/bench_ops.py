@@ -122,6 +122,31 @@ def main():
                         'value': round(tflops, 2), 'unit': 'TFLOP/s',
                         'vs_roofline': round(tflops / mxu, 4)})
 
+    # fused segment softmax (attention path)
+    if selected('softmax'):
+        from pyg_lib_tpu.ops.pallas.spmm_chunked import build_spmm_plan
+        from pyg_lib_tpu.ops.pallas.segment_softmax_kernel import (
+            segment_softmax_planned, )
+        n2, e2 = 131_072, 2_097_152
+        deg2 = rng.integers(0, 2 * e2 // n2, size=n2)
+        deg2 = (deg2 * (e2 / max(deg2.sum(), 1))).astype(np.int64)
+        rp2 = np.zeros(n2 + 1, np.int64)
+        rp2[1:] = np.cumsum(deg2)
+        e2a = int(rp2[-1])
+        plan = build_spmm_plan(rp2, np.zeros(e2a, np.int32), chunk=512,
+                               with_edge_maps=True)
+        xs2 = jnp.asarray(rng.normal(size=(plan.col_padded.shape[0],
+                                           f)).astype(np.float32))
+
+        def sm(a):
+            return segment_softmax_planned(a, plan)
+
+        t = _time(sm, xs2, iters=4)
+        gbps = 4 * e2a * f * 4 / t / 1e9  # 3 reads + 1 write
+        results.append({'metric': 'segment_softmax_bandwidth',
+                        'value': round(gbps, 2), 'unit': 'GB/s',
+                        'vs_roofline': round(gbps / hbm, 4)})
+
     # scatter_sum with unsorted index
     if selected('scatter_sum'):
         idx = jnp.asarray(rng.integers(0, n, size=e_actual).astype(np.int32))

@@ -140,3 +140,38 @@ def test_fuzz_full_neighborhood_cpp_equals_numpy(seed):
     for x, y in zip(a[:4], b[:4]):
         np.testing.assert_array_equal(x, y)
     assert a[4] == b[4] and a[5] == b[5]
+
+
+@pytest.mark.parametrize('seed', range(3))
+def test_fuzz_edge_temporal(seed):
+    rng = np.random.default_rng(400 + seed)
+    n = 100
+    rowptr, col = _graph(rng, n, 5)
+    edge_time = np.zeros(int(rowptr[-1]), np.int64)
+    for v in range(n):  # time-sorted per neighborhood (precondition)
+        lo, hi = rowptr[v], rowptr[v + 1]
+        edge_time[lo:hi] = np.sort(rng.integers(0, 50, size=hi - lo))
+    seeds = rng.choice(n, size=5, replace=False)
+    seed_time = rng.integers(10, 60, size=5).astype(np.int64)
+
+    out = sampler.neighbor_sample(rowptr, col, seeds, [4, 4], rng=seed,
+                                  disjoint=True, edge_time=edge_time,
+                                  seed_time=seed_time, impl='cpp')
+    row, c, node_id, eid, nnph, neph = out
+    batches = node_id[:, 0]
+    for b, e in zip((batches[r] for r in row), eid):
+        assert edge_time[e] <= seed_time[int(b)]
+    _check_invariants(out, rowptr, col, [4, 4], 5, True, False)
+
+
+def test_fuzz_subgraph_cpp_equals_numpy_random():
+    rng = np.random.default_rng(500)
+    for trial in range(4):
+        n = int(rng.integers(20, 300))
+        rowptr, col = _graph(rng, n, int(rng.integers(1, 8)))
+        nodes = np.sort(rng.choice(n, size=max(1, n // 5), replace=False))
+        a = sampler.subgraph(rowptr, col, nodes, impl='auto')
+        b = sampler.subgraph(rowptr, col, nodes, impl='numpy')
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        np.testing.assert_array_equal(a[2], b[2])
