@@ -40,19 +40,81 @@ struct SplitMix64 {
   }
 };
 
+// ----------------------------------------------------- FlatHashMap ----
+// Minimal open-addressing (linear probing, power-of-2 capacity) uint64 ->
+// int64 map. Replaces std::unordered_map in the per-neighbor dedup hot
+// loop (the reference vendors parallel-hashmap for the same reason,
+// csrc/sampler/cpu/mapper.h): ~3x fewer cache misses than the node-based
+// std::unordered_map. EMPTY sentinel key = ~0ull (never produced by
+// Mapper::key for valid ids).
+struct FlatHashMap {
+  static constexpr uint64_t EMPTY = ~0ULL;
+  std::vector<uint64_t> keys_;
+  std::vector<int64_t> vals_;
+  size_t mask_ = 0, size_ = 0;
+
+  void reserve_pow2(size_t cap) {
+    size_t c = 16;
+    while (c < cap * 2) c <<= 1;  // keep load factor <= 0.5
+    keys_.assign(c, EMPTY);
+    vals_.assign(c, 0);
+    mask_ = c - 1;
+  }
+
+  inline void grow() {
+    std::vector<uint64_t> ok = std::move(keys_);
+    std::vector<int64_t> ov = std::move(vals_);
+    keys_.assign(ok.size() * 2, EMPTY);
+    vals_.assign(ov.size() * 2, 0);
+    mask_ = keys_.size() - 1;
+    for (size_t i = 0; i < ok.size(); ++i) {
+      if (ok[i] == EMPTY) continue;
+      size_t j = hash(ok[i]) & mask_;
+      while (keys_[j] != EMPTY) j = (j + 1) & mask_;
+      keys_[j] = ok[i];
+      vals_[j] = ov[i];
+    }
+  }
+
+  static inline size_t hash(uint64_t x) {
+    x ^= x >> 33;
+    x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33;
+    return (size_t)x;
+  }
+
+  // Returns (value, inserted); inserts `fresh` when absent.
+  inline std::pair<int64_t, bool> emplace(uint64_t k, int64_t fresh) {
+    if (keys_.empty()) reserve_pow2(16);
+    if (size_ * 2 >= keys_.size()) grow();
+    size_t j = hash(k) & mask_;
+    while (true) {
+      if (keys_[j] == EMPTY) {
+        keys_[j] = k;
+        vals_[j] = fresh;
+        size_++;
+        return {fresh, true};
+      }
+      if (keys_[j] == k) return {vals_[j], false};
+      j = (j + 1) & mask_;
+    }
+  }
+};
+
 // ------------------------------------------------------------- Mapper ----
-// Global->local id map; dense vector under the reference's 1e6 heuristic
-// (reference csrc/sampler/cpu/mapper.h:22-23), hashmap above. Disjoint
-// keys pack (batch, node) into a single 64-bit word.
+// Global->local id map; dense vector under a 4M heuristic (the reference
+// uses 1e6, csrc/sampler/cpu/mapper.h:22-23 — 4M int64 = 32 MB, cheap on a
+// sampling host), flat open-addressing map above or in disjoint mode.
+// Disjoint keys pack (batch, node) into a single 64-bit word.
 struct Mapper {
   int64_t num_nodes;
   bool use_vec;
   std::vector<int64_t> vec;  // -1 = absent
-  std::unordered_map<uint64_t, int64_t> map;
+  FlatHashMap map;
   int64_t count = 0;
 
   explicit Mapper(int64_t n, bool disjoint) : num_nodes(n) {
-    use_vec = !disjoint && n >= 0 && n < 1000000;
+    use_vec = !disjoint && n >= 0 && n <= 4000000;
     if (use_vec) vec.assign((size_t)n, -1);
   }
 
@@ -73,7 +135,7 @@ struct Mapper {
     }
     auto res = map.emplace(key(batch, node), count);
     if (res.second) count++;
-    return {res.first->second, res.second};
+    return res;
   }
 };
 
