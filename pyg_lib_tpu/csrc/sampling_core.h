@@ -157,6 +157,51 @@ struct IndexTracker {
   }
 };
 
+// ------------------------------------------------------- Alias table ----
+// Walker alias method (reference csrc/random/cpu/biased_sampling.h:53-130):
+// O(population) build, O(1) per draw — wins over CDF binary search when
+// many draws hit one neighborhood (large fanout with replacement).
+struct AliasTable {
+  std::vector<double> prob;
+  std::vector<int64_t> alias;
+
+  void build(const double* w, int64_t n) {
+    prob.assign((size_t)n, 0.0);
+    alias.assign((size_t)n, 0);
+    double total = 0;
+    for (int64_t i = 0; i < n; ++i) total += w[i];
+    if (total <= 0) {
+      for (int64_t i = 0; i < n; ++i) {
+        prob[(size_t)i] = 1.0;
+        alias[(size_t)i] = i;
+      }
+      return;
+    }
+    std::vector<double> scaled((size_t)n);
+    std::vector<int64_t> small, large;
+    for (int64_t i = 0; i < n; ++i) {
+      scaled[(size_t)i] = w[i] * n / total;
+      (scaled[(size_t)i] < 1.0 ? small : large).push_back(i);
+    }
+    while (!small.empty() && !large.empty()) {
+      int64_t s = small.back(), l = large.back();
+      small.pop_back();
+      large.pop_back();
+      prob[(size_t)s] = scaled[(size_t)s];
+      alias[(size_t)s] = l;
+      scaled[(size_t)l] = scaled[(size_t)l] + scaled[(size_t)s] - 1.0;
+      (scaled[(size_t)l] < 1.0 ? small : large).push_back(l);
+    }
+    for (int64_t s : small) prob[(size_t)s] = 1.0;
+    for (int64_t l : large) prob[(size_t)l] = 1.0;
+  }
+
+  inline int64_t draw(SplitMix64& rng) {
+    int64_t i = (int64_t)rng.bounded((uint64_t)prob.size());
+    return rng.uniform() < prob[(size_t)i] ? i : alias[(size_t)i];
+  }
+};
+
 // Sample `count` offsets within [0, population) into `out`. Mirrors the
 // reference _sample cases (neighbor_kernel.cpp:185-243): full neighborhood
 // when count < 0 or count >= population (w/o replacement), bounded draws
@@ -199,6 +244,14 @@ inline void biased_sample_offsets(SplitMix64& rng, const double* w,
     return;
   }
   if (replace) {
+    if (count >= 4 * population && population >= 8) {
+      // Many draws per neighborhood: amortise an O(population) alias
+      // table for O(1) draws (reference biased_sampling.h:53-130).
+      AliasTable table;
+      table.build(w, population);
+      for (int64_t i = 0; i < count; ++i) out.push_back(table.draw(rng));
+      return;
+    }
     scratch.resize((size_t)population);
     double acc = 0;
     for (int64_t i = 0; i < population; ++i) {

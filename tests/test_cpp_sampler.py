@@ -291,3 +291,16 @@ def test_cpp_dist_neighbor_sample_contract():
             e = eids[p - len(seed)]
             assert rowptr[seed[i]] <= e < rowptr[seed[i] + 1]
             assert col[e] == nodes[p]
+
+
+def test_cpp_biased_alias_path_statistics():
+    # Large fanout with replacement triggers the alias-table path; the
+    # empirical distribution must track the weights.
+    rowptr = np.array([0, 4], np.int64)
+    col = np.array([0, 1, 2, 3], np.int64)
+    ew = np.array([0.1, 0.2, 0.3, 0.4])
+    out = sampler.neighbor_sample(rowptr, col, np.array([0]), [4000],
+                                  rng=0, replace=True, edge_weight=ew,
+                                  impl='cpp')
+    counts = np.bincount(out[3], minlength=4) / 4000.0
+    np.testing.assert_allclose(counts, ew, atol=0.04)
