@@ -56,6 +56,8 @@ from pyg_lib_tpu.ops.segment_csr import (
 from pyg_lib_tpu.ops.softmax import softmax_csr
 from pyg_lib_tpu.ops.spline import spline_basis, spline_weighting
 from pyg_lib_tpu.ops.spmm import (SpmmGraph, build_spmm_graph, sddmm,
+                                  segment_max_padded,
+                                  segment_min_padded,
                                   segment_softmax_padded,
                                   segment_sum_padded, spmm)
 
@@ -66,6 +68,8 @@ __all__ = [
     'SpmmGraph',
     'segment_sum_padded',
     'segment_softmax_padded',
+    'segment_max_padded',
+    'segment_min_padded',
     'grouped_matmul',
     'segment_matmul',
     'sampled_add',

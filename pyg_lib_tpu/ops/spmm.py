@@ -32,7 +32,8 @@ from pyg_lib_tpu.ops.pallas.spmm_chunked import (
 )
 
 __all__ = ['SpmmGraph', 'build_spmm_graph', 'spmm', 'sddmm',
-           'segment_sum_padded', 'segment_softmax_padded']
+           'segment_sum_padded', 'segment_softmax_padded',
+           'segment_max_padded', 'segment_min_padded']
 
 
 class SpmmGraph(NamedTuple):
@@ -183,3 +184,37 @@ def sddmm(x: jax.Array, y: jax.Array, graph: SpmmGraph) -> jax.Array:
     ys = jnp.take(y, plan.col_padded, axis=0)
     scores = jnp.sum(xs * ys, axis=-1)
     return jnp.take(scores, plan.edge_pos, axis=0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, ))
+def segment_max_padded(x_padded: jax.Array, plan: SpmmPlan) -> jax.Array:
+    """Per-row max in padded coordinates (Pallas scan kernel; values only,
+    bf16-selection precision — see kernel docstring). Backward splits the
+    cotangent equally among tying maxima (a valid subgradient; the exact
+    reference semantics with argindices live in ``segment_max_csr``)."""
+    from pyg_lib_tpu.ops.pallas.segment_softmax_kernel import (
+        segment_max_planned, )
+
+    return segment_max_planned(x_padded, plan)
+
+
+def _smx_fwd(x_padded, plan):
+    out = segment_max_padded(x_padded, plan)
+    return out, (x_padded, out)
+
+
+def _smx_bwd(plan, res, g):
+    x_padded, out = res
+    winner = (x_padded.astype(jnp.bfloat16).astype(jnp.float32)
+              >= jnp.take(out, plan.row_padded, axis=0)).astype(g.dtype)
+    counts = segment_sum_padded(winner, plan)
+    share = g / jnp.maximum(counts, 1.0)
+    return (winner * jnp.take(share, plan.row_padded, axis=0), )
+
+
+segment_max_padded.defvjp(_smx_fwd, _smx_bwd)
+
+
+def segment_min_padded(x_padded: jax.Array, plan: SpmmPlan) -> jax.Array:
+    """Per-row min in padded coordinates (negated max)."""
+    return -segment_max_padded(-x_padded, plan)

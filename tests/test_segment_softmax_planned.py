@@ -81,3 +81,62 @@ def test_softmax_csr_public_grad_path():
     num = (f(src.at[(1, 2)].add(eps)) - f(src.at[(1, 2)].add(-eps))) / (
         2 * eps)
     assert np.isclose(float(g[1, 2]), float(num), rtol=1e-2, atol=1e-3)
+
+
+def test_segment_max_min_padded():
+    import numpy as np
+    from pyg_lib_tpu import ops
+
+    rng = np.random.default_rng(5)
+    n, e, f = 80, 600, 128
+    deg = rng.multinomial(e, np.ones(n) / n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=e).astype(np.int32)
+    src = rng.normal(size=(e, f)).astype(np.float32)
+    graph = ops.build_spmm_graph(rowptr, col, chunk=256,
+                                 with_edge_maps=True)
+    plan = graph.fwd
+    xp = jnp.asarray(src)[plan.edge_perm]
+
+    out = np.asarray(ops.segment_max_padded(xp, plan))
+    ref = np.zeros((n, f), np.float32)
+    for r in range(n):
+        lo, hi = rowptr[r], rowptr[r + 1]
+        if hi > lo:
+            ref[r] = src[lo:hi].max(0)
+    # bf16-selection precision: relative tolerance ~1e-2
+    np.testing.assert_allclose(out, ref, rtol=1.5e-2, atol=1.5e-2)
+
+    out_min = np.asarray(ops.segment_min_padded(xp, plan))
+    ref_min = np.zeros((n, f), np.float32)
+    for r in range(n):
+        lo, hi = rowptr[r], rowptr[r + 1]
+        if hi > lo:
+            ref_min[r] = src[lo:hi].min(0)
+    np.testing.assert_allclose(out_min, ref_min, rtol=1.5e-2, atol=1.5e-2)
+
+
+def test_segment_max_padded_grad_subgradient():
+    import numpy as np
+    from pyg_lib_tpu import ops
+
+    rng = np.random.default_rng(6)
+    n, e = 16, 100
+    deg = rng.multinomial(e, np.ones(n) / n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=e).astype(np.int32)
+    graph = ops.build_spmm_graph(rowptr, col, chunk=256,
+                                 with_edge_maps=True)
+    plan = graph.fwd
+    xp = jnp.asarray(rng.normal(size=(plan.col_padded.shape[0],
+                                      128)).astype(np.float32))
+
+    g = jax.grad(lambda a: jnp.sum(ops.segment_max_padded(a, plan)))(xp)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    # cotangent mass per (row, feature) sums to ~1 for non-empty rows
+    sums = np.asarray(ops.segment_sum_padded(jnp.asarray(g), plan))
+    nonempty = np.diff(rowptr) > 0
+    np.testing.assert_allclose(sums[nonempty], 1.0, atol=1e-4)
