@@ -20,6 +20,7 @@ from pyg_lib_tpu.models.gnn import (
     init_sage,
     rgcn_forward,
     sage_forward,
+    sage_maxpool_forward_spmm,
 )
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     'gcn_forward_spmm',
     'init_sage',
     'sage_forward',
+    'sage_maxpool_forward_spmm',
     'init_gat',
     'gat_forward',
     'init_gat_spmm',

@@ -267,3 +267,25 @@ def gat_forward_spmm(params: Dict, x: Array, graph) -> Array:
         if i < len(params['layers']) - 1:
             x = jax.nn.elu(x)
     return x
+
+
+def sage_maxpool_forward_spmm(params: Dict, x: Array, graph) -> Array:
+    """Full-graph GraphSAGE with max-pooling aggregation (Hamilton et al.
+    variant) over a plan built ``with_edge_maps=True``: neighbor features
+    pass through a pooling MLP, are max-reduced per destination via
+    :func:`pyg_lib_tpu.ops.segment_max_padded`, then concatenated with the
+    self features. Reuses :func:`init_sage` parameters (the pool MLP
+    shares the neighbor weight)."""
+    from pyg_lib_tpu.ops import segment_max_padded
+
+    plan = graph.fwd
+    for i, layer in enumerate(params['layers']):
+        h_pool = jax.nn.relu(
+            jnp.dot(x, layer['w_nbr'], preferred_element_type=x.dtype))
+        msgs = jnp.take(h_pool, plan.col_padded, axis=0)
+        agg = segment_max_padded(msgs, plan)
+        x = (jnp.dot(x, layer['w_self'], preferred_element_type=x.dtype) +
+             agg + layer['b'])
+        if i < len(params['layers']) - 1:
+            x = jax.nn.relu(x)
+    return x

@@ -120,3 +120,43 @@ def test_padded_softmax_sum_grads_numeric():
     idx = (slot, 3)
     num = (f(xp.at[idx].add(eps)) - f(xp.at[idx].add(-eps))) / (2 * eps)
     assert np.isclose(float(g[idx]), float(num), rtol=2e-2, atol=2e-2)
+
+
+def test_sage_maxpool_spmm_trains():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pyg_lib_tpu import ops
+    from pyg_lib_tpu.datasets import sbm_graph
+    from pyg_lib_tpu.models import init_sage, sage_maxpool_forward_spmm
+
+    d = sbm_graph(num_nodes=300, num_classes=3, seed=4)
+    graph = ops.build_spmm_graph(d['rowptr'], d['col'], chunk=256,
+                                 with_edge_maps=True)
+    x = jnp.asarray(d['x'])
+    y = jnp.asarray(d['y'].astype(np.int32))
+    train = jnp.asarray(d['train_mask'])
+    params = init_sage(jax.random.key(0), [d['x'].shape[1], 16, 3])
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = sage_maxpool_forward_spmm(p, x, graph)
+            logp = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+            return jnp.where(train, nll, 0).sum() / train.sum()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(25):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, losses
