@@ -258,10 +258,17 @@ inline void biased_sample_offsets(SplitMix64& rng, const double* w,
       acc += w[i];
       scratch[(size_t)i] = acc;
     }
+    if (acc <= 0) {  // all-zero window: uniform fallback (matches alias)
+      for (int64_t i = 0; i < count; ++i)
+        out.push_back((int64_t)rng.bounded((uint64_t)population));
+      return;
+    }
     for (int64_t i = 0; i < count; ++i) {
       double u = rng.uniform() * acc;
       auto it = std::upper_bound(scratch.begin(), scratch.end(), u);
-      out.push_back(it - scratch.begin());
+      // u == acc (or fp round-up) would land one past the last element.
+      int64_t off = it - scratch.begin();
+      out.push_back(off < population ? off : population - 1);
     }
   } else {
     scratch.resize((size_t)population);

@@ -222,6 +222,10 @@ def init_gat_spmm(key, dims: List[int], heads: int = 4) -> Dict:
     vectors a_src/a_dst [heads, out_h]."""
     layers = []
     for i in range(len(dims) - 1):
+        if dims[i + 1] % heads:
+            raise ValueError(
+                f'dims[{i + 1}]={dims[i + 1]} not divisible by '
+                f'heads={heads}')
         key, k1, k2, k3 = jax.random.split(key, 4)
         out_h = dims[i + 1] // heads
         layers.append({

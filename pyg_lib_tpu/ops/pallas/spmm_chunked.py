@@ -74,6 +74,7 @@ class SpmmPlan(NamedTuple):
     edge_perm: Optional[jax.Array] = None  # [E_pad] orig edge per pad slot
     edge_pos: Optional[jax.Array] = None  # [E] pad slot per orig edge
     row_padded: Optional[jax.Array] = None  # [E_pad] dst row per pad slot
+    valid_mask: Optional[jax.Array] = None  # [E_pad] True at real edges
 
     @property
     def num_chunks(self) -> int:
@@ -133,7 +134,7 @@ def build_spmm_plan(rowptr, col, chunk: int = 512,
                               0).astype(np.int32)
     else:
         col_padded = np.zeros(orig.shape[0], np.int32)
-    edge_perm = edge_pos = row_padded = None
+    edge_perm = edge_pos = row_padded = valid_mask = None
     if with_edge_maps:
         perm = np.where(valid, orig, 0).astype(np.int32)
         pos = np.zeros(int(col.shape[0]), np.int32)
@@ -149,6 +150,7 @@ def build_spmm_plan(rowptr, col, chunk: int = 512,
         else:
             rp = np.zeros(orig.shape[0], np.int32)
         row_padded = jnp.asarray(rp)
+        valid_mask = jnp.asarray(valid)
     return SpmmPlan(
         col_padded=jnp.asarray(col_padded),
         chunk_tile=jnp.asarray(chunk_tile),
@@ -159,6 +161,7 @@ def build_spmm_plan(rowptr, col, chunk: int = 512,
         edge_perm=edge_perm,
         edge_pos=edge_pos,
         row_padded=row_padded,
+        valid_mask=valid_mask,
     )
 
 

@@ -15,6 +15,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pyg_lib_tpu.utils import Array, canonicalize_dim, indptr_to_index
 
@@ -76,12 +77,10 @@ _PLANNED_MIN_EDGES = 65536
 
 
 def _plan_for(ptr) -> 'object':
-    import numpy as np
-
     ptr_np = np.asarray(ptr)
     key = (ptr_np.ctypes.data, ptr_np.shape[0])
     hit = _PLAN_CACHE.get(key)
-    if hit is not None:
+    if hit is not None and np.array_equal(hit[1], ptr_np):
         return hit[0]
     from pyg_lib_tpu.ops.pallas.spmm_chunked import build_spmm_plan
 
@@ -94,8 +93,9 @@ def _plan_for(ptr) -> 'object':
                                with_edge_maps=True)
     if len(_PLAN_CACHE) >= 8:
         _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-    # Cache the custom_vjp wrapper too, so repeated calls hit one trace.
-    _PLAN_CACHE[key] = (_make_planned(plan), ptr_np, plan)
+    # Cache the custom_vjp wrapper too, so repeated calls hit one trace;
+    # a COPY of ptr guards against callers mutating the buffer in place.
+    _PLAN_CACHE[key] = (_make_planned(plan), ptr_np.copy(), plan)
     return _PLAN_CACHE[key][0]
 
 
@@ -125,12 +125,16 @@ def _use_planned(src, ptr, dim: int) -> bool:
         return False
     if dim != 0 or src.ndim != 2 or src.shape[1] % 128:
         return False
-    if isinstance(ptr, jax.core.Tracer) or isinstance(src, jax.core.Tracer):
-        # Plans need concrete pointers; traced src still works (the plan
-        # only depends on ptr), traced ptr does not.
-        if isinstance(ptr, jax.core.Tracer):
-            return False
+    # Plans need a concrete ptr; traced src is fine (the plan only
+    # depends on ptr).
+    if isinstance(ptr, jax.core.Tracer):
+        return False
     if jax.default_backend() != 'tpu':
+        return False
+    if src.shape[0] != int(np.asarray(ptr)[-1]):
+        # Trailing pad edges past ptr[-1] (the repo's padded-batch
+        # convention): the planned path would change the output shape;
+        # keep the XLA composite.
         return False
     return src.shape[0] >= _PLANNED_MIN_EDGES
 

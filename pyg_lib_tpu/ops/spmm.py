@@ -133,7 +133,10 @@ def _ssp_fwd(msgs_padded, plan):
 
 
 def _ssp_bwd(plan, _, g):
-    return (jnp.take(g, plan.row_padded, axis=0), )
+    # Pad slots alias row 0 via row_padded; the forward masks them, so
+    # their cotangent must be zero (not g[0]).
+    grad = jnp.take(g, plan.row_padded, axis=0)
+    return (grad * plan.valid_mask[:, None].astype(grad.dtype), )
 
 
 segment_sum_padded.defvjp(_ssp_fwd, _ssp_bwd)
@@ -207,6 +210,7 @@ def _smx_bwd(plan, res, g):
     x_padded, out = res
     winner = (x_padded.astype(jnp.bfloat16).astype(jnp.float32)
               >= jnp.take(out, plan.row_padded, axis=0)).astype(g.dtype)
+    winner = winner * plan.valid_mask[:, None].astype(g.dtype)  # no pads
     counts = segment_sum_padded(winner, plan)
     share = g / jnp.maximum(counts, 1.0)
     return (winner * jnp.take(share, plan.row_padded, axis=0), )

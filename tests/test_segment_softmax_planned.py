@@ -140,3 +140,49 @@ def test_segment_max_padded_grad_subgradient():
     sums = np.asarray(ops.segment_sum_padded(jnp.asarray(g), plan))
     nonempty = np.diff(rowptr) > 0
     np.testing.assert_allclose(sums[nonempty], 1.0, atol=1e-4)
+
+
+def test_pad_slots_leak_no_gradient_to_node0():
+    """Regression: pad slots alias index 0 via row/col_padded; their
+    cotangent must be exactly zero (was 511x corruption on node 0)."""
+    import numpy as np
+    from pyg_lib_tpu import ops
+
+    # 2 nodes, 2 edges -> E_pad = 512 with chunk 512 (510 pad slots).
+    rowptr = np.array([0, 1, 2], np.int64)
+    col = np.array([1, 0], np.int64)
+    graph = ops.build_spmm_graph(rowptr, col, chunk=512,
+                                 with_edge_maps=True)
+    plan = graph.fwd
+    x = jnp.ones((2, 128), jnp.float32)
+
+    # sum path: d/dx sum(segment_sum_padded(take(x, col_padded))) must be
+    # exactly 1 per node (each node feeds exactly one edge).
+    def f_sum(x):
+        msgs = jnp.take(x, plan.col_padded, axis=0)
+        return jnp.sum(ops.segment_sum_padded(msgs, plan))
+
+    g = np.asarray(jax.grad(f_sum)(x))
+    np.testing.assert_allclose(g, 1.0, atol=1e-5)
+
+    # max path: same property for segment_max_padded.
+    def f_max(x):
+        msgs = jnp.take(x, plan.col_padded, axis=0)
+        return jnp.sum(ops.segment_max_padded(msgs, plan))
+
+    g2 = np.asarray(jax.grad(f_max)(x))
+    np.testing.assert_allclose(g2, 1.0, atol=1e-4)
+
+
+def test_softmax_csr_planned_requires_matching_length(monkeypatch):
+    """Padded src (rows past ptr[-1]) must keep the XLA composite."""
+    import numpy as np
+    import pyg_lib_tpu.ops.softmax as sm
+
+    monkeypatch.setattr(sm, '_PLANNED_MIN_EDGES', 8)
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    rowptr = np.array([0, 5, 10], np.int64)
+    src = jnp.ones((16, 128), jnp.float32)  # 6 trailing pad rows
+    assert not sm._use_planned(src, rowptr, 0)
+    src2 = jnp.ones((10, 128), jnp.float32)
+    assert sm._use_planned(src2, rowptr, 0)
