@@ -18,7 +18,10 @@ from pyg_lib_tpu.models.gnn import (
     init_gcn,
     init_rgcn,
     init_sage,
+    build_rgcn_graphs,
+    init_rgcn_spmm,
     rgcn_forward,
+    rgcn_forward_spmm,
     sage_forward,
     sage_maxpool_forward_spmm,
 )
@@ -36,4 +39,7 @@ __all__ = [
     'gat_forward_spmm',
     'init_rgcn',
     'rgcn_forward',
+    'init_rgcn_spmm',
+    'rgcn_forward_spmm',
+    'build_rgcn_graphs',
 ]

@@ -44,26 +44,32 @@ class SpmmGraph(NamedTuple):
 
 
 def build_spmm_graph(rowptr, col, chunk: int = 512,
-                     with_edge_maps: bool = False) -> SpmmGraph:
+                     with_edge_maps: bool = False,
+                     num_cols: int = None) -> SpmmGraph:
     """Host-side, one-time: build fwd and transpose SpMM plans.
 
     ``with_edge_maps=True`` equips the forward plan for the padded-space
     primitives (:func:`segment_sum_padded` / :func:`segment_softmax_padded`).
+    ``num_cols`` is the source-node count for rectangular (bipartite)
+    adjacencies — it sizes the transpose plan so gradients match ``x``;
+    defaults to the row count (square adjacency).
     """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
     num_rows = rowptr.shape[0] - 1
+    if num_cols is None:
+        num_cols = num_rows
     fwd = build_spmm_plan(rowptr, col, chunk=chunk,
                           with_edge_maps=with_edge_maps)
 
-    # Transpose graph by counting sort over col (num_cols == num_rows for
-    # square adjacency; rectangular graphs pass the padded row space).
+    # Transpose graph by counting sort over col.
     row = np.repeat(np.arange(num_rows, dtype=np.int64),
                     np.diff(rowptr).astype(np.int64))
     order = np.argsort(col, kind='stable')
     t_col = row[order]
-    t_ptr = np.zeros(num_rows + 1, np.int64)
-    np.cumsum(np.bincount(col, minlength=num_rows), out=t_ptr[1:])
+    t_ptr = np.zeros(num_cols + 1, np.int64)
+    counts = np.bincount(col, minlength=num_cols)[:num_cols]
+    np.cumsum(counts, out=t_ptr[1:])
     bwd = build_spmm_plan(t_ptr, t_col, chunk=chunk)
 
     deg = jnp.asarray(np.diff(rowptr).astype(np.float32))

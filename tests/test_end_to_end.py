@@ -160,3 +160,83 @@ def test_sage_maxpool_spmm_trains():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_rgcn_spmm_hetero_trains():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pyg_lib_tpu.models import (build_rgcn_graphs, init_rgcn_spmm,
+                                    rgcn_forward_spmm)
+
+    rng = np.random.default_rng(3)
+    n_a, n_b = 200, 120
+
+    def csr(nd, ns, d):  # dst-major CSR: rowptr over dst, col = src ids
+        deg = rng.integers(0, 2 * d, size=nd)
+        rp = np.zeros(nd + 1, np.int64)
+        rp[1:] = np.cumsum(deg)
+        return rp, rng.integers(0, ns, size=int(rp[-1])).astype(np.int64)
+
+    rowptr_d, col_d = {}, {}
+    rowptr_d[('a', 'to', 'a')], col_d[('a', 'to', 'a')] = csr(n_a, n_a, 4)
+    rowptr_d[('b', 'to', 'a')], col_d[('b', 'to', 'a')] = csr(n_a, n_b, 2)
+    rowptr_d[('a', 'to', 'b')], col_d[('a', 'to', 'b')] = csr(n_b, n_a, 2)
+
+    graphs = build_rgcn_graphs(rowptr_d, col_d, {'a': n_a, 'b': n_b},
+                               chunk=256)
+    x_dict = {'a': jnp.asarray(rng.normal(size=(n_a, 16)).astype(
+        np.float32)),
+              'b': jnp.asarray(rng.normal(size=(n_b, 16)).astype(
+                  np.float32))}
+    # labels on 'a' correlated with features through a fixed projection
+    proj = rng.normal(size=(16, 3)).astype(np.float32)
+    y = jnp.asarray((np.asarray(x_dict['a']) @ proj).argmax(-1).astype(
+        np.int32))
+
+    params = init_rgcn_spmm(jax.random.key(0), [16, 16, 3],
+                            num_relations=3)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = rgcn_forward_spmm(p, x_dict, graphs)
+            logp = jax.nn.log_softmax(out['a'])
+            return -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_spmm_bf16_inputs():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyg_lib_tpu import ops
+
+    rng = np.random.default_rng(11)
+    rowptr = np.zeros(65, np.int64)
+    rowptr[1:] = np.cumsum(rng.multinomial(800, np.ones(64) / 64))
+    col = rng.integers(0, 64, size=800).astype(np.int64)
+    x = rng.normal(size=(64, 128)).astype(np.float32)
+    graph = ops.build_spmm_graph(rowptr, col, chunk=256)
+
+    out = np.asarray(ops.spmm(jnp.asarray(x).astype(jnp.bfloat16),
+                              graph)).astype(np.float32)
+    ref = np.zeros((64, 128), np.float32)
+    np.add.at(ref, np.repeat(np.arange(64), np.diff(rowptr)),
+              x[col].astype(np.float32))
+    # bf16 inputs: ~2 decimal digits relative
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.3)
