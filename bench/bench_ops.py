@@ -147,6 +147,40 @@ def main():
                         'value': round(gbps, 2), 'unit': 'GB/s',
                         'vs_roofline': round(gbps / hbm, 4)})
 
+    # planned R-GCN layer (3 relations, 2 node types)
+    if selected('rgcn'):
+        from pyg_lib_tpu.models import (build_rgcn_graphs, init_rgcn_spmm,
+                                        rgcn_forward_spmm)
+        n_a, n_b, fr = 131_072, 65_536, 256
+        def _csr(nd, ns, d):
+            dg = rng.integers(0, 2 * d, size=nd)
+            rp = np.zeros(nd + 1, np.int64)
+            rp[1:] = np.cumsum(dg)
+            return rp, rng.integers(0, ns, size=int(rp[-1])).astype(np.int64)
+        rowptr_d, col_d = {}, {}
+        rowptr_d[('a', 'r1', 'a')], col_d[('a', 'r1', 'a')] = _csr(
+            n_a, n_a, 8)
+        rowptr_d[('b', 'r2', 'a')], col_d[('b', 'r2', 'a')] = _csr(
+            n_a, n_b, 4)
+        rowptr_d[('a', 'r3', 'b')], col_d[('a', 'r3', 'b')] = _csr(
+            n_b, n_a, 4)
+        graphs = build_rgcn_graphs(rowptr_d, col_d, {'a': n_a, 'b': n_b})
+        total_edges = sum(int(rp[-1]) for rp in rowptr_d.values())
+        xd = {'a': jnp.asarray(rng.normal(size=(n_a, fr)).astype(
+                  np.float32)),
+              'b': jnp.asarray(rng.normal(size=(n_b, fr)).astype(
+                  np.float32))}
+        prm = init_rgcn_spmm(jax.random.key(0), [fr, fr], 3)
+
+        def rgcn_fn(x_a):
+            out = rgcn_forward_spmm(prm, {'a': x_a, 'b': xd['b']}, graphs)
+            return out['a']
+
+        t = _time(rgcn_fn, xd['a'], iters=4)
+        results.append({'metric': 'rgcn_layer_throughput',
+                        'value': round(total_edges / t / 1e9, 3),
+                        'unit': 'Gedges/s', 'vs_roofline': None})
+
     # scatter_sum with unsorted index
     if selected('scatter_sum'):
         idx = jnp.asarray(rng.integers(0, n, size=e_actual).astype(np.int32))

@@ -175,3 +175,46 @@ def test_fuzz_subgraph_cpp_equals_numpy_random():
         np.testing.assert_array_equal(a[0], b[0])
         np.testing.assert_array_equal(a[1], b[1])
         np.testing.assert_array_equal(a[2], b[2])
+
+
+@pytest.mark.parametrize('seed', range(4))
+@pytest.mark.parametrize('disjoint', [False, True])
+def test_fuzz_hetero(seed, disjoint):
+    rng = np.random.default_rng(600 + seed)
+    n_t = {'a': int(rng.integers(20, 150)), 'b': int(rng.integers(20, 150))}
+    edge_types = [('a', 'r1', 'a'), ('a', 'r2', 'b'), ('b', 'r3', 'a')]
+    rowptr_d, col_d = {}, {}
+    for k in edge_types:
+        src_t, _, dst_t = k
+        deg = rng.integers(0, 6, size=n_t[src_t])
+        rp = np.zeros(n_t[src_t] + 1, np.int64)
+        rp[1:] = np.cumsum(deg)
+        rowptr_d[k] = rp
+        col_d[k] = rng.integers(0, n_t[dst_t],
+                                size=int(rp[-1])).astype(np.int64)
+    n_seed = int(rng.integers(1, 10))
+    seeds = {'a': rng.choice(n_t['a'], size=n_seed, replace=False)}
+    nn = {k: rng.integers(1, 5, size=2).tolist() for k in edge_types}
+
+    row, col, node_id, eid, nph, eph = sampler.hetero_neighbor_sample(
+        rowptr_d, col_d, seeds, nn, rng=seed, disjoint=disjoint,
+        impl='cpp')
+
+    assert nph['a'][0] == n_seed
+    for k in edge_types:
+        src_t, _, dst_t = k
+        nodes_src = node_id[src_t][:, 1] if disjoint else node_id[src_t]
+        nodes_dst = node_id[dst_t][:, 1] if disjoint else node_id[dst_t]
+        assert len(row[k]) == len(col[k]) == len(eid[k]) == sum(eph[k])
+        rp, cc = rowptr_d[k], col_d[k]
+        for r, c, e in zip(row[k], col[k], eid[k]):
+            assert rp[nodes_src[r]] <= e < rp[nodes_src[r] + 1]
+            assert cc[e] == nodes_dst[c]
+            if disjoint:
+                assert node_id[src_t][r, 0] == node_id[dst_t][c, 0]
+    for t, ni in node_id.items():
+        if disjoint:
+            pairs = {(int(b), int(v)) for b, v in ni}
+            assert len(pairs) == len(ni)
+        else:
+            assert len(set((ni.tolist()))) == len(ni)
