@@ -59,10 +59,11 @@ from pyg_lib_tpu.ops.spmm import (SpmmGraph, build_spmm_graph, sddmm,
                                   segment_max_padded,
                                   segment_min_padded,
                                   segment_softmax_padded,
-                                  segment_sum_padded, spmm)
+                                  segment_sum_padded, spmm, spmm_csr)
 
 __all__ = [
     'spmm',
+    'spmm_csr',
     'sddmm',
     'build_spmm_graph',
     'SpmmGraph',

@@ -266,5 +266,17 @@ def spmm_plan_apply(x: jax.Array, plan: SpmmPlan,
     if interpret is None:  # Mosaic on TPU, interpreter elsewhere (tests)
         interpret = jax.default_backend() != 'tpu'
     msgs = jnp.take(x, plan.col_padded, axis=0)
+    if x.shape[1] > 2048:
+        # Double-buffered (chunk, F) slabs would exceed VMEM; fall back
+        # to the XLA sorted scatter for very wide features (needs the
+        # row_padded edge map).
+        if plan.row_padded is None:
+            raise ValueError('spmm with F > 2048 needs a plan built '
+                             'with_edge_maps=True (XLA fallback path)')
+        out = jnp.zeros((plan.num_rows, x.shape[1]), jnp.float32).at[
+            plan.row_padded].add(
+                jnp.where(plan.valid_mask[:, None],
+                          msgs.astype(jnp.float32), 0.0), mode='drop')
+        return out.astype(x.dtype)
     out = segment_sum_chunked(msgs, plan, interpret)
     return out.astype(x.dtype)

@@ -31,7 +31,7 @@ from pyg_lib_tpu.ops.pallas.spmm_chunked import (
     spmm_plan_apply,
 )
 
-__all__ = ['SpmmGraph', 'build_spmm_graph', 'spmm', 'sddmm',
+__all__ = ['SpmmGraph', 'build_spmm_graph', 'spmm', 'spmm_csr', 'sddmm',
            'segment_sum_padded', 'segment_softmax_padded',
            'segment_max_padded', 'segment_min_padded']
 
@@ -70,7 +70,8 @@ def build_spmm_graph(rowptr, col, chunk: int = 512,
     t_ptr = np.zeros(num_cols + 1, np.int64)
     counts = np.bincount(col, minlength=num_cols)[:num_cols]
     np.cumsum(counts, out=t_ptr[1:])
-    bwd = build_spmm_plan(t_ptr, t_col, chunk=chunk)
+    bwd = build_spmm_plan(t_ptr, t_col, chunk=chunk,
+                          with_edge_maps=with_edge_maps)
 
     deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
     return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg)
@@ -228,3 +229,35 @@ segment_max_padded.defvjp(_smx_fwd, _smx_bwd)
 def segment_min_padded(x_padded: jax.Array, plan: SpmmPlan) -> jax.Array:
     """Per-row min in padded coordinates (negated max)."""
     return -segment_max_padded(-x_padded, plan)
+
+
+# Auto-cached convenience entry: plans keyed on (rowptr, col) identity with
+# content validation (same contract as ops.softmax_csr's plan cache).
+_GRAPH_CACHE: dict = {}
+
+
+def spmm_csr(x: jax.Array, rowptr, col, reduce: str = 'sum') -> jax.Array:
+    """``segment_csr(x[col], rowptr, reduce)`` with an auto-cached plan.
+
+    Convenience wrapper over :func:`build_spmm_graph` + :func:`spmm` for
+    callers who don't manage plans explicitly; ``rowptr``/``col`` must be
+    concrete (host) arrays. Plans are cached per graph identity and
+    validated against stored copies, so in-place buffer reuse is safe.
+    """
+    if isinstance(rowptr, jax.core.Tracer) or isinstance(
+            col, jax.core.Tracer):
+        raise ValueError('spmm_csr needs concrete rowptr/col; build a '
+                         'plan with build_spmm_graph for traced use')
+    rp = np.asarray(rowptr)
+    cl = np.asarray(col)
+    key = (rp.ctypes.data, rp.shape[0], cl.ctypes.data, cl.shape[0])
+    hit = _GRAPH_CACHE.get(key)
+    if (hit is None or not np.array_equal(hit[1], rp)
+            or not np.array_equal(hit[2], cl)):
+        with jax.ensure_compile_time_eval():
+            graph = build_spmm_graph(rp, cl)
+        if len(_GRAPH_CACHE) >= 8:
+            _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+        _GRAPH_CACHE[key] = (graph, rp.copy(), cl.copy())
+        hit = _GRAPH_CACHE[key]
+    return spmm(x, hit[0], reduce=reduce)

@@ -111,3 +111,44 @@ def test_sddmm_matches_reference_and_grads():
     g = jax.grad(lambda a, b: jnp.sum(ops.sddmm(a, b, graph)**2),
                  argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
     assert all(bool(jnp.isfinite(t).all()) for t in g)
+
+
+def test_spmm_csr_convenience_and_cache():
+    rng = np.random.default_rng(13)
+    rowptr, col = _random_csr(rng, 100, 900)
+    x = jnp.asarray(rng.normal(size=(100, 128)).astype(np.float32))
+
+    a = ops.spmm_csr(x, rowptr, col)
+    b = ops.spmm_csr(x * 2, rowptr, col)  # cache hit
+    np.testing.assert_allclose(np.asarray(b), 2 * np.asarray(a), rtol=1e-5)
+    ref = _spmm_ref(np.asarray(x), rowptr, col)
+    np.testing.assert_allclose(np.asarray(a), ref, atol=1e-3, rtol=1e-3)
+
+    # in-place mutation of the SAME buffers must be detected
+    col2 = col.copy()
+    col[:] = (col + 1) % 100
+    c = ops.spmm_csr(x, rowptr, col)
+    ref2 = _spmm_ref(np.asarray(x), rowptr, col)
+    np.testing.assert_allclose(np.asarray(c), ref2, atol=1e-3, rtol=1e-3)
+    col[:] = col2  # restore
+
+
+def test_spmm_wide_features_fallback():
+    rng = np.random.default_rng(14)
+    rowptr, col = _random_csr(rng, 32, 200)
+    graph = ops.build_spmm_graph(rowptr, col, chunk=256,
+                                 with_edge_maps=True)
+    x = jnp.asarray(rng.normal(size=(32, 4096)).astype(np.float32))
+    out = np.asarray(ops.spmm(x, graph))
+    ref = _spmm_ref(np.asarray(x), rowptr, col)
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_spmm_wide_features_grad():
+    rng = np.random.default_rng(15)
+    rowptr, col = _random_csr(rng, 24, 150)
+    graph = ops.build_spmm_graph(rowptr, col, chunk=256,
+                                 with_edge_maps=True)
+    x = jnp.asarray(rng.normal(size=(24, 4096)).astype(np.float32))
+    g = jax.grad(lambda a: jnp.sum(ops.spmm(a, graph)**2))(x)
+    assert bool(jnp.isfinite(g).all())
