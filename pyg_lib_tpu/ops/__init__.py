@@ -55,7 +55,10 @@ from pyg_lib_tpu.ops.segment_csr import (
 )
 from pyg_lib_tpu.ops.softmax import softmax_csr
 from pyg_lib_tpu.ops.spline import spline_basis, spline_weighting
-from pyg_lib_tpu.ops.spmm import (SpmmGraph, build_spmm_graph, sddmm,
+from pyg_lib_tpu.ops.spmm import (ShardedSpmmGraph, SpmmGraph,
+                                  build_spmm_graph,
+                                  build_spmm_graph_sharded, sddmm,
+                                  spmm_sharded,
                                   segment_max_padded,
                                   segment_min_padded,
                                   segment_softmax_padded,
@@ -64,6 +67,9 @@ from pyg_lib_tpu.ops.spmm import (SpmmGraph, build_spmm_graph, sddmm,
 __all__ = [
     'spmm',
     'spmm_csr',
+    'spmm_sharded',
+    'ShardedSpmmGraph',
+    'build_spmm_graph_sharded',
     'sddmm',
     'build_spmm_graph',
     'SpmmGraph',

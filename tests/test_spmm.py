@@ -152,3 +152,28 @@ def test_spmm_wide_features_grad():
     x = jnp.asarray(rng.normal(size=(24, 4096)).astype(np.float32))
     g = jax.grad(lambda a: jnp.sum(ops.spmm(a, graph)**2))(x)
     assert bool(jnp.isfinite(g).all())
+
+
+@pytest.mark.parametrize('num_splits', [1, 3, 4])
+def test_spmm_sharded_matches_reference(num_splits):
+    rng = np.random.default_rng(21)
+    rowptr, col = _random_csr(rng, 300, 4000)
+    x = rng.normal(size=(300, 128)).astype(np.float32)
+    graph = ops.build_spmm_graph_sharded(rowptr, col, num_splits,
+                                         chunk=256)
+    out = np.asarray(ops.spmm_sharded(jnp.asarray(x), graph))
+    ref = _spmm_ref(x, rowptr, col)
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_spmm_sharded_grad():
+    rng = np.random.default_rng(22)
+    rowptr, col = _random_csr(rng, 150, 1500)
+    x = rng.normal(size=(150, 128)).astype(np.float32)
+    graph = ops.build_spmm_graph_sharded(rowptr, col, 3, chunk=256)
+    g = np.asarray(jax.grad(
+        lambda a: jnp.vdot(ops.spmm_sharded(a, graph),
+                           jnp.ones((150, 128))))(jnp.asarray(x)))
+    # d/dx sum of A@x = in-degree of each source node (count per col id)
+    ref = np.bincount(col, minlength=150).astype(np.float32)
+    np.testing.assert_allclose(g[:, 0], ref, atol=1e-3, rtol=1e-3)
