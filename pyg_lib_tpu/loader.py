@@ -91,7 +91,7 @@ class NeighborLoader:
                                   'disjoint', False))
         nodes = b.node_id
         batch = {
-            'x': self.x[nodes].astype(self.x.dtype, copy=False),
+            'x': self.x[nodes],
             'rowptr': b.rowptr,
             'row': b.row,
             'col': b.col,
@@ -211,9 +211,10 @@ class HeteroNeighborLoader:
         b = self._pad(out, self.node_budgets, self.max_edges,
                       csc=self.sample_kwargs.get('csc', False),
                       disjoint=self.sample_kwargs.get('disjoint', False))
-        feat_dim = next(iter(self.x_dict.values())).shape[1]
+        first = next(iter(self.x_dict.values()))
+        feat_dim = first.shape[1]
         n_flat = b.num_flat_nodes
-        x = np.zeros((n_flat, feat_dim), np.float32)
+        x = np.zeros((n_flat, feat_dim), first.dtype)
         for t, off in b.type_offset.items():
             bt = self.node_budgets[t]
             x[off:off + bt] = self.x_dict[t][b.node_id[t]]
@@ -227,6 +228,9 @@ class HeteroNeighborLoader:
                 [b.node_mask[t] for t in b.type_offset]),
             'num_seeds': np.int32(len(seed_ids)),
         }
+        if b.batch and all(v is not None for v in b.batch.values()):
+            batch['batch'] = np.concatenate(
+                [b.batch[t] for t in b.type_offset])
         if self.y_dict is not None and self.seed_type in self.y_dict:
             off = b.type_offset[self.seed_type]
             batch['y'] = self.y_dict[self.seed_type][b.node_id[

@@ -177,18 +177,32 @@ def rgcn_forward(params: Dict, x: Array, row: Array, col: Array,
     ``rel_ptr [R+1]`` bounds each relation's contiguous edge range (the
     hetero sampler emits per-edge-type blocks; ``segment_matmul`` applies
     the per-relation transform in one ragged GEMM — the reference's hetero
-    hot path, SURVEY.md §3.2).  Because edges are relation-sorted (not
-    destination-sorted), aggregation uses an unsorted scatter-mean over
-    ``col``; pad edges carry ``col == N`` and are dropped.
+    hot path, SURVEY.md §3.2).  Aggregation is the canonical R-GCN
+    per-relation mean (Schlichtkrull's 1/c_{i,r}), matching
+    :func:`rgcn_forward_spmm`: messages are divided by the (dst,
+    relation) in-count before an unsorted scatter-sum over ``col``; pad
+    edges carry ``col == N`` and are dropped.
     """
-    from pyg_lib_tpu.ops import scatter_mean
+    from pyg_lib_tpu.ops import scatter_sum
 
     n = x.shape[0]
+    num_rel = params['layers'][0]['w_rel'].shape[0]
+    e = row.shape[0]
+    # Relation id per edge from the rel_ptr boundaries (edges are
+    # relation-sorted), then per-(dst, relation) counts for 1/c_{i,r}.
+    rel_id = jnp.clip(
+        jnp.searchsorted(rel_ptr, jnp.arange(e), side='right') - 1, 0,
+        num_rel - 1).astype(jnp.int32)
+    key = jnp.minimum(col, n) * num_rel + rel_id
+    counts = scatter_sum(jnp.ones((e, ), jnp.float32), key, dim=0,
+                         dim_size=(n + 1) * num_rel)
+    inv = 1.0 / jnp.maximum(counts, 1.0)
     for i, layer in enumerate(params['layers']):
         msgs = _gather_src(x, row)  # [E, F_in]
         transformed = segment_matmul(msgs, rel_ptr, layer['w_rel'])
-        agg = scatter_mean(transformed, jnp.minimum(col, n), dim=0,
-                           dim_size=n + 1)[:n]
+        transformed = transformed * inv[key][:, None].astype(x.dtype)
+        agg = scatter_sum(transformed, jnp.minimum(col, n), dim=0,
+                          dim_size=n + 1)[:n]
         x = (agg +
              jnp.dot(x, layer['w_root'], preferred_element_type=x.dtype) +
              layer['b'])
@@ -313,8 +327,7 @@ def build_rgcn_graphs(rowptr_dict, col_dict, num_nodes_dict, chunk=512):
     return graphs
 
 
-def rgcn_forward_spmm(params: Dict, x_dict: Dict, graphs: Dict,
-                      num_layers: int = None) -> Dict:
+def rgcn_forward_spmm(params: Dict, x_dict: Dict, graphs: Dict) -> Dict:
     """Full-graph R-GCN over per-relation SpMM plans.
 
     Per layer and relation ``(src, rel, dst)``: transform the SOURCE

@@ -66,6 +66,8 @@ def segment_sum_coo(
     if src.ndim == 2 and index.ndim == 1 and src.shape[0] == index.shape[0]:
         from pyg_lib_tpu.ops.segment_csr import segment_sum_csr
 
+        if out is not None:
+            dim_size = out.shape[0]
         n = infer_dim_size(index, dim_size)
         indptr = _coo_to_indptr(index, n)
         return segment_sum_csr(src, indptr, out)

@@ -45,6 +45,19 @@ class SpmmGraph(NamedTuple):
     deg: jax.Array  # [num_rows] f32 row degrees (for reduce='mean')
 
 
+def _transpose_csr(rowptr, col, num_cols):
+    """Counting-sort transpose of a (possibly rectangular) CSR."""
+    num_rows = rowptr.shape[0] - 1
+    row = np.repeat(np.arange(num_rows, dtype=np.int64),
+                    np.diff(rowptr).astype(np.int64))
+    order = np.argsort(col, kind='stable')
+    t_col = row[order]
+    t_ptr = np.zeros(num_cols + 1, np.int64)
+    np.cumsum(np.bincount(col, minlength=num_cols)[:num_cols],
+              out=t_ptr[1:])
+    return t_ptr, t_col
+
+
 def build_spmm_graph(rowptr, col, chunk: int = 512,
                      with_edge_maps: bool = False,
                      num_cols: int = None) -> SpmmGraph:
@@ -64,14 +77,7 @@ def build_spmm_graph(rowptr, col, chunk: int = 512,
     fwd = build_spmm_plan(rowptr, col, chunk=chunk,
                           with_edge_maps=with_edge_maps)
 
-    # Transpose graph by counting sort over col.
-    row = np.repeat(np.arange(num_rows, dtype=np.int64),
-                    np.diff(rowptr).astype(np.int64))
-    order = np.argsort(col, kind='stable')
-    t_col = row[order]
-    t_ptr = np.zeros(num_cols + 1, np.int64)
-    counts = np.bincount(col, minlength=num_cols)[:num_cols]
-    np.cumsum(counts, out=t_ptr[1:])
+    t_ptr, t_col = _transpose_csr(rowptr, col, num_cols)
     bwd = build_spmm_plan(t_ptr, t_col, chunk=chunk,
                           with_edge_maps=with_edge_maps)
 
@@ -134,6 +140,9 @@ def segment_sum_padded(msgs_padded: jax.Array, plan: SpmmPlan) -> jax.Array:
     """
     from pyg_lib_tpu.ops.pallas.spmm_chunked import segment_sum_chunked
 
+    if plan.row_padded is None:
+        raise ValueError('segment_sum_padded needs a plan built '
+                         'with_edge_maps=True (the VJP uses row_padded)')
     return segment_sum_chunked(msgs_padded, plan)
 
 
@@ -163,6 +172,9 @@ def segment_softmax_padded(x_padded: jax.Array,
     from pyg_lib_tpu.ops.pallas.segment_softmax_kernel import (
         segment_softmax_planned, )
 
+    if plan.row_padded is None:
+        raise ValueError('segment_softmax_padded needs a plan built '
+                         'with_edge_maps=True')
     return segment_softmax_planned(x_padded, plan)
 
 
@@ -207,6 +219,9 @@ def segment_max_padded(x_padded: jax.Array, plan: SpmmPlan) -> jax.Array:
     from pyg_lib_tpu.ops.pallas.segment_softmax_kernel import (
         segment_max_planned, )
 
+    if plan.row_padded is None:
+        raise ValueError('segment_max_padded needs a plan built '
+                         'with_edge_maps=True')
     return segment_max_planned(x_padded, plan)
 
 
@@ -252,13 +267,22 @@ def spmm_csr(x: jax.Array, rowptr, col, reduce: str = 'sum') -> jax.Array:
                          'plan with build_spmm_graph for traced use')
     rp = np.asarray(rowptr)
     cl = np.asarray(col)
-    key = (rp.ctypes.data, rp.shape[0], cl.ctypes.data, cl.shape[0])
+    if isinstance(rowptr, np.ndarray) and isinstance(col, np.ndarray):
+        # Stable host buffers: identity key (validated against copies).
+        key = (rp.ctypes.data, rp.shape[0], cl.ctypes.data, cl.shape[0])
+    else:
+        # Device arrays / lists copy to a fresh buffer per call — key by
+        # content so the cache still hits.
+        import hashlib
+
+        key = (hashlib.sha1(rp.tobytes()).hexdigest(),
+               hashlib.sha1(cl.tobytes()).hexdigest())
     hit = _GRAPH_CACHE.get(key)
     if (hit is None or not np.array_equal(hit[1], rp)
             or not np.array_equal(hit[2], cl)):
         with jax.ensure_compile_time_eval():
             graph = build_spmm_graph(rp, cl)
-        if len(_GRAPH_CACHE) >= 8:
+        if key not in _GRAPH_CACHE and len(_GRAPH_CACHE) >= 8:
             _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
         _GRAPH_CACHE[key] = (graph, rp.copy(), cl.copy())
         hit = _GRAPH_CACHE[key]
@@ -302,14 +326,7 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
         return tuple(plans)
 
     fwd = split_plans(rowptr, col, num_rows)
-
-    row = np.repeat(np.arange(num_rows, dtype=np.int64),
-                    np.diff(rowptr).astype(np.int64))
-    order = np.argsort(col, kind='stable')
-    t_col = row[order]
-    t_ptr = np.zeros(num_cols + 1, np.int64)
-    np.cumsum(np.bincount(col, minlength=num_cols)[:num_cols],
-              out=t_ptr[1:])
+    t_ptr, t_col = _transpose_csr(rowptr, col, num_cols)
     bwd = split_plans(t_ptr, t_col, num_cols)
 
     deg = jnp.asarray(np.diff(rowptr).astype(np.float32))

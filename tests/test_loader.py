@@ -147,3 +147,28 @@ def test_loader_disjoint_and_weighted():
         assert bb[:8].tolist() == list(range(8))
         assert (bb[mask] >= 0).all() and (bb[mask] < 8).all()
         assert b['x'].ndim == 2  # features indexed by plain node ids
+
+
+def test_hetero_loader_disjoint_batch_vector():
+    import numpy as np
+    from pyg_lib_tpu.loader import HeteroNeighborLoader
+
+    rng = np.random.default_rng(4)
+
+    def csr(ns, nd, d):
+        deg = rng.integers(0, 2 * d, size=ns)
+        rp = np.zeros(ns + 1, np.int64)
+        rp[1:] = np.cumsum(deg)
+        return rp, rng.integers(0, nd, size=int(rp[-1])).astype(np.int64)
+
+    rowptr_d, col_d = {}, {}
+    rowptr_d[('a', 'r', 'a')], col_d[('a', 'r', 'a')] = csr(60, 60, 3)
+    x_dict = {'a': rng.normal(size=(60, 4)).astype(np.float32)}
+    loader = HeteroNeighborLoader(
+        rowptr_d, col_d, x_dict, None, seed_type='a', seeds=np.arange(16),
+        batch_size=8, num_neighbors_dict={('a', 'r', 'a'): [2]},
+        node_budgets={'a': 64}, max_edges=64, rng=1, disjoint=True)
+    for b in loader:
+        bb = np.asarray(b['batch'])
+        assert bb.shape == (64, )
+        assert bb[:8].tolist() == list(range(8))
