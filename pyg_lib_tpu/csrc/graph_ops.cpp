@@ -27,15 +27,17 @@ SubgraphResult* pygt_subgraph(const int64_t* rowptr, const int64_t* col,
                               int64_t n_out, int32_t return_edge_id) {
   auto* r = new SubgraphResult();
   std::vector<int64_t> local((size_t)num_nodes, -1);
-  for (int64_t i = 0; i < n_out; ++i) local[(size_t)nodes[i]] = i;
+  for (int64_t i = 0; i < n_out; ++i)
+    if (nodes[i] >= 0 && nodes[i] < num_nodes) local[(size_t)nodes[i]] = i;
 
   r->rowptr.assign((size_t)n_out + 1, 0);
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n_out; ++i) {
     const int64_t v = nodes[i];
     int64_t deg = 0;
-    for (int64_t e = rowptr[v]; e < rowptr[v + 1]; ++e)
-      if (local[(size_t)col[e]] >= 0) deg++;
+    if (v >= 0 && v < num_nodes)
+      for (int64_t e = rowptr[v]; e < rowptr[v + 1]; ++e)
+        if (local[(size_t)col[e]] >= 0) deg++;
     r->rowptr[(size_t)i + 1] = deg;
   }
   for (int64_t i = 0; i < n_out; ++i)
@@ -47,6 +49,7 @@ SubgraphResult* pygt_subgraph(const int64_t* rowptr, const int64_t* col,
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n_out; ++i) {
     const int64_t v = nodes[i];
+    if (v < 0 || v >= num_nodes) continue;
     int64_t off = r->rowptr[(size_t)i];
     for (int64_t e = rowptr[v]; e < rowptr[v + 1]; ++e) {
       const int64_t w = local[(size_t)col[e]];

@@ -135,6 +135,7 @@ void run_hetero(const HeteroArgs& a, HeteroOutputs& o) {
           const int64_t src = a.src_type[k];
           const int64_t count = a.fanouts[k * a.L + ell];
           const int64_t* rowptr = a.rowptr_cat + a.rowptr_off[k];
+          const int64_t n_src = a.rowptr_off[k + 1] - a.rowptr_off[k] - 1;
           const int64_t* col = a.col_cat + a.col_off[k];
           const double* weight =
               a.has_weight[k] ? a.weight_cat + a.col_off[k] : nullptr;
@@ -147,6 +148,7 @@ void run_hetero(const HeteroArgs& a, HeteroOutputs& o) {
           int64_t hop_edges = 0;
           for (int64_t i = begin; i < end; ++i) {
             const int64_t v = o.nodes[(size_t)src][(size_t)i];
+            if (v < 0 || v >= n_src) continue;  // no out-edges of this type
             const int64_t b =
                 a.disjoint ? o.batches[(size_t)src][(size_t)i] : 0;
             int64_t row_start = rowptr[v], row_end = rowptr[v + 1];

@@ -118,8 +118,14 @@ struct Mapper {
     if (use_vec) vec.assign((size_t)n, -1);
   }
 
-  static inline uint64_t key(int64_t batch, int64_t node) {
-    return ((uint64_t)(uint32_t)batch << 40) ^ (uint64_t)node;
+  // Injective (batch, node) packing for in-range nodes: batch * N + node.
+  // (The previous shifted-XOR packing aliased batches above 2^24 and
+  // node ids above 2^40.) Out-of-range nodes (hashmap fall-through for
+  // undershooting node-count estimates) use a tagged rare-path encoding.
+  inline uint64_t key(int64_t batch, int64_t node) const {
+    if (node >= 0 && node < num_nodes)
+      return (uint64_t)batch * (uint64_t)num_nodes + (uint64_t)node;
+    return (1ULL << 63) | ((uint64_t)(uint32_t)batch << 40) ^ (uint64_t)node;
   }
 
   // Returns (local_id, inserted). Nodes outside [0, num_nodes) — possible

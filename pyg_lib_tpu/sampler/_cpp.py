@@ -86,6 +86,13 @@ def get_lib():
     return _lib
 
 
+def rng_seed_from(rng) -> int:
+    """Shared integer-seed derivation for the C++ fast paths."""
+    if isinstance(rng, int):
+        return rng
+    return int(np.random.default_rng(rng).integers(2**63))
+
+
 def _ptr(a: Optional[np.ndarray], typ=ctypes.c_int64):
     if a is None:
         return None
@@ -192,8 +199,9 @@ def _hetero_fingerprint(rowptr_dict, col_dict, seed_types, csc,
     def sig(d):
         if not d:
             return None
-        return tuple((k, a.ctypes.data, a.shape[0])
-                     for k, a in ((k, np.asarray(v)) for k, v in d.items()))
+        return tuple(
+            (k, a.ctypes.data, a.shape[0], a.strides, str(a.dtype))
+            for k, a in ((k, np.asarray(v)) for k, v in d.items()))
 
     return (sig(rowptr_dict), sig(col_dict), tuple(seed_types), csc,
             sig(node_time_dict), sig(edge_time_dict), sig(edge_weight_dict))
@@ -327,7 +335,15 @@ def _hetero_build(self, rowptr_dict, col_dict, seed_types, csc,
         for i, t in enumerate(node_types):
             if t in node_time_dict and node_time_dict[t] is not None:
                 has_node_time[i] = 1
-                nt_arrs.append(np.asarray(node_time_dict[t], np.int64))
+                nt = np.asarray(node_time_dict[t], np.int64)
+                if len(nt) < int(num_nodes[i]):
+                    # The numpy spec IndexErrors on time[col] past the
+                    # array; the concatenated layout would silently read
+                    # the next type's segment instead — reject upfront.
+                    raise IndexError(
+                        f'node_time_dict[{t!r}] has {len(nt)} entries but '
+                        f'node ids reach {int(num_nodes[i]) - 1}')
+                nt_arrs.append(nt)
             else:
                 nt_arrs.append(np.zeros(int(num_nodes[i]), np.int64))
         node_time_cat, node_time_off = cat(nt_arrs, np.int64)
@@ -369,6 +385,13 @@ def _hetero_sample_run(lib, g, seed_dict, num_neighbors_dict, seed_time_dict,
 
     # Seeds: slot order is node_types (seed types first, in seed_dict
     # order), reproducing the numpy spec's global batch numbering.
+    if (disjoint and seed_time_dict is None and g.node_time_cat is not None):
+        for t in seed_dict:
+            ti = node_types.index(t)
+            if len(np.asarray(seed_dict[t])) and not g.has_node_time[ti]:
+                # Spec parity: _hetero_impl.py indexes node_time_dict[t].
+                raise KeyError(
+                    f'node_time_dict is missing seed node type {t!r}')
     seeds_per_type = {t: np.zeros(0, np.int64) for t in node_types}
     seed_times_per_type = {t: None for t in node_types}
     for t, s in seed_dict.items():

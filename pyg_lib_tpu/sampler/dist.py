@@ -78,8 +78,8 @@ def merge_sampler_outputs(
     cumsum_neighbors_per_node: List[np.ndarray],
     partition_ids: np.ndarray,
     partition_orders: np.ndarray,
-    num_partitions: int,
-    num_neighbors: int,
+    num_partitions: int,  # accepted for reference API parity (unused)
+    num_neighbors: int,  # accepted for reference API parity (unused)
     batch: Optional[np.ndarray] = None,
     disjoint: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray], List[int]]:
@@ -145,7 +145,9 @@ def relabel_neighborhood(
     Parity: reference ``relabel_neighborhood``
     (``dist_relabel_kernel.cpp:30-94``): the mapper is seeded with the seed
     nodes (locals ``0..len(seed)-1``); row ``i`` is the local id of the i-th
-    expanded node in coordinator order.
+    expanded node in coordinator order.  Precondition (shared with the
+    reference kernel): ``seed`` contains no duplicates — duplicated seeds
+    would make enumeration order diverge from mapper locals.
     """
     seed = np.asarray(seed)
     nodes = np.asarray(sampled_nodes_with_duplicates)
@@ -226,7 +228,6 @@ def hetero_relabel_neighborhood(
     # Track how many locals each src type has after each layer (locals are
     # allocated in mapper insertion order, mirroring the sampler).
     src_base = {t: 0 for t in node_types}
-    src_seen = {t: len(mappers[t]) for t in node_types}
 
     for ell in range(num_layers):
         layer_end = {}
@@ -251,7 +252,11 @@ def hetero_relabel_neighborhood(
                     cols[k].append(res)
                 p += int(n)
             pos[k] = p
-            layer_end.setdefault(src, src_base[src] + len(counts))
+            # Same-src edge types may report different per-layer list
+            # lengths; the frontier advances by the LARGEST reported
+            # count (setdefault's first-wins misnumbered later layers).
+            layer_end[src] = max(layer_end.get(src, 0),
+                                 src_base[src] + len(counts))
         for t in node_types:
             src_base[t] = layer_end.get(t, src_base[t])
 

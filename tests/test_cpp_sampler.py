@@ -304,3 +304,50 @@ def test_cpp_biased_alias_path_statistics():
                                   impl='cpp')
     counts = np.bincount(out[3], minlength=4) / 4000.0
     np.testing.assert_allclose(counts, ew, atol=0.04)
+
+
+def test_cpp_hetero_seed_beyond_rowptr_is_safe():
+    # Seed/source ids past an edge type's rowptr must be skipped (no
+    # negative-population allocation / OOB reads).
+    rowptr_d = {('u', 'r', 'v'): np.array([0, 2, 3], np.int64)}  # 2 u-nodes
+    col_d = {('u', 'r', 'v'): np.array([0, 1, 2], np.int64)}
+    out = sampler.hetero_neighbor_sample(
+        rowptr_d, col_d, {'u': np.array([5])},  # u id beyond rowptr
+        {('u', 'r', 'v'): [2]}, rng=0, impl='cpp')
+    assert out[2]['u'].tolist() == [5]
+    assert len(out[0][('u', 'r', 'v')]) == 0
+
+
+def test_cpp_subgraph_out_of_range_nodes_safe():
+    rowptr = np.array([0, 2, 3, 3], np.int64)
+    col = np.array([1, 2, 0], np.int64)
+    rp, cc, eid = sampler.subgraph(rowptr, col, np.array([0, 1, 99]),
+                                   impl='auto')
+    # node 99 contributes no edges; valid part matches numpy on {0, 1}
+    rp2, cc2, eid2 = sampler.subgraph(rowptr, col, np.array([0, 1]),
+                                      impl='numpy')
+    np.testing.assert_array_equal(rp[:3], rp2)
+    assert rp[3] == rp[2]
+
+
+def test_cpp_hetero_short_node_time_raises():
+    rowptr_d = {('a', 'r', 'a'): np.array([0, 1, 2, 3], np.int64)}
+    col_d = {('a', 'r', 'a'): np.array([1, 2, 0], np.int64)}
+    with pytest.raises(IndexError):
+        sampler.hetero_neighbor_sample(
+            rowptr_d, col_d, {'a': np.array([0])}, {('a', 'r', 'a'): [2]},
+            node_time_dict={'a': np.array([1], np.int64)},  # too short
+            disjoint=True, rng=0, impl='cpp')
+
+
+def test_cpp_hetero_missing_seed_node_time_raises():
+    rowptr_d = {('a', 'r', 'b'): np.array([0, 1], np.int64),
+                ('b', 'r2', 'a'): np.array([0, 0], np.int64)}
+    col_d = {('a', 'r', 'b'): np.array([0], np.int64),
+             ('b', 'r2', 'a'): np.zeros(0, np.int64)}
+    with pytest.raises(KeyError):
+        sampler.hetero_neighbor_sample(
+            rowptr_d, col_d, {'b': np.array([0])},
+            {k: [1] for k in rowptr_d},
+            node_time_dict={'a': np.array([3], np.int64)},
+            disjoint=True, rng=0, impl='cpp')
