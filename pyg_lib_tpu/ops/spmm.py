@@ -113,10 +113,24 @@ def spmm(x: jax.Array, graph: SpmmGraph, reduce: str = 'sum') -> jax.Array:
     Close over ``graph`` in jitted functions (as the examples do) rather
     than passing it through the jit boundary as an argument: plans ride
     ``custom_vjp`` nondiff slots, which must stay concrete.
+
+    ``reduce`` in {'sum', 'add', 'mean', 'max', 'min'}; max/min need a
+    graph built ``with_edge_maps=True`` and return values only (see
+    :func:`segment_max_padded` for the precision/gradient contract).
     """
+    if reduce in ('max', 'min'):
+        plan = graph.fwd
+        if plan.row_padded is None:
+            raise ValueError(
+                "spmm reduce='max'/'min' needs "
+                'build_spmm_graph(with_edge_maps=True)')
+        msgs = jnp.take(x, plan.col_padded, axis=0)
+        fn = segment_max_padded if reduce == 'max' else segment_min_padded
+        return fn(msgs, plan).astype(x.dtype)
     if reduce not in ('sum', 'add', 'mean'):
         raise ValueError(
-            f"spmm reduce must be 'sum', 'add' or 'mean', got {reduce!r}")
+            f"spmm reduce must be 'sum', 'add', 'mean', 'max' or 'min', "
+            f"got {reduce!r}")
     out = _spmm_sum(x, graph)
     if reduce == 'mean':
         d = jnp.maximum(graph.deg, 1.0).astype(out.dtype)

@@ -108,9 +108,9 @@ def neighbor_sample(
         use_cpp = (directed and not isinstance(rng, np.random.Generator)
                    and _cpp.get_lib() is not None)
     if use_cpp:
-        from pyg_lib_tpu.sampler._cpp import neighbor_sample_cpp
-        seed_int = rng if isinstance(rng, int) else int(
-            np.random.default_rng(rng).integers(2**63))
+        from pyg_lib_tpu.sampler._cpp import (neighbor_sample_cpp,
+                                              rng_seed_from)
+        seed_int = rng_seed_from(rng)
         return neighbor_sample_cpp(
             _np(rowptr), _np(col), _np(seed), list(num_neighbors),
             node_time=_np(node_time), edge_time=_np(edge_time),
@@ -182,9 +182,9 @@ def hetero_neighbor_sample(
         use_cpp = (directed and not isinstance(rng, np.random.Generator)
                    and _cpp.get_lib() is not None)
     if use_cpp:
-        from pyg_lib_tpu.sampler._cpp import hetero_neighbor_sample_cpp
-        seed_int = rng if isinstance(rng, int) else int(
-            np.random.default_rng(rng).integers(2**63))
+        from pyg_lib_tpu.sampler._cpp import (hetero_neighbor_sample_cpp,
+                                              rng_seed_from)
+        seed_int = rng_seed_from(rng)
         return hetero_neighbor_sample_cpp(
             conv(rowptr_dict), conv(col_dict), conv(seed_dict),
             {k: list(v) for k, v in num_neighbors_dict.items()},
@@ -269,10 +269,8 @@ def random_walk(
     if impl != 'numpy' and not isinstance(rng, np.random.Generator):
         from pyg_lib_tpu.sampler import _cpp
         if _cpp.get_lib() is not None:
-            seed_int = rng if isinstance(rng, int) else int(
-                np.random.default_rng(rng).integers(2**63))
             return _cpp.random_walk_cpp(rowptr, col, seed, walk_length,
-                                        seed_int)
+                                        _cpp.rng_seed_from(rng))
     gen = _rng(rng)
     n_seed = len(seed)
     out = np.empty((n_seed, walk_length + 1), dtype=np.int64)

@@ -58,9 +58,9 @@ def dist_neighbor_sample(
         use_cpp = (not isinstance(rng, np.random.Generator)
                    and _cpp.get_lib() is not None)
     if use_cpp:
-        from pyg_lib_tpu.sampler._cpp import neighbor_sample_cpp
-        seed_int = rng if isinstance(rng, int) else int(
-            np.random.default_rng(rng).integers(2**63))
+        from pyg_lib_tpu.sampler._cpp import (neighbor_sample_cpp,
+                                              rng_seed_from)
+        seed_int = rng_seed_from(rng)
         return neighbor_sample_cpp(
             np.asarray(rowptr), np.asarray(col), np.asarray(seed),
             [num_neighbors], edge_weight=None if edge_weight is None else

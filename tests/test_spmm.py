@@ -177,3 +177,25 @@ def test_spmm_sharded_grad():
     # d/dx sum of A@x = in-degree of each source node (count per col id)
     ref = np.bincount(col, minlength=150).astype(np.float32)
     np.testing.assert_allclose(g[:, 0], ref, atol=1e-3, rtol=1e-3)
+
+
+def test_spmm_reduce_max_min():
+    rng = np.random.default_rng(31)
+    rowptr, col = _random_csr(rng, 90, 700)
+    x = rng.normal(size=(90, 128)).astype(np.float32)
+    graph = ops.build_spmm_graph(rowptr, col, chunk=256,
+                                 with_edge_maps=True)
+    out = np.asarray(ops.spmm(jnp.asarray(x), graph, reduce='max'))
+    ref = np.zeros((90, 128), np.float32)
+    for r in range(90):
+        lo, hi = rowptr[r], rowptr[r + 1]
+        if hi > lo:
+            ref[r] = x[col[lo:hi]].max(0)
+    np.testing.assert_allclose(out, ref, rtol=1.5e-2, atol=1.5e-2)
+    out_min = np.asarray(ops.spmm(jnp.asarray(x), graph, reduce='min'))
+    ref_min = np.zeros((90, 128), np.float32)
+    for r in range(90):
+        lo, hi = rowptr[r], rowptr[r + 1]
+        if hi > lo:
+            ref_min[r] = x[col[lo:hi]].min(0)
+    np.testing.assert_allclose(out_min, ref_min, rtol=1.5e-2, atol=1.5e-2)
