@@ -218,3 +218,28 @@ def test_fuzz_hetero(seed, disjoint):
             assert len(pairs) == len(ni)
         else:
             assert len(set((ni.tolist()))) == len(ni)
+
+
+def test_uniform_sampler_is_statistically_uniform():
+    """Chi-square-style check: each neighbor of a node is drawn equally
+    often across many seeds (catches biased offset generation)."""
+    rowptr = np.array([0, 8], np.int64)
+    col = np.arange(8, dtype=np.int64)
+    counts = np.zeros(8)
+    trials = 3000
+    for s in range(trials):
+        out = sampler.neighbor_sample(rowptr, col, np.array([0]), [2],
+                                      rng=s, impl='cpp')
+        for e in out[3]:
+            counts[e] += 1
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, 1 / 8, atol=0.02)
+
+
+def test_replacement_sampler_is_statistically_uniform():
+    rowptr = np.array([0, 5], np.int64)
+    col = np.arange(5, dtype=np.int64)
+    out = sampler.neighbor_sample(rowptr, col, np.array([0]), [20000],
+                                  rng=0, replace=True, impl='cpp')
+    freq = np.bincount(out[3], minlength=5) / 20000
+    np.testing.assert_allclose(freq, 0.2, atol=0.02)
