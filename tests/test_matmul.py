@@ -102,3 +102,21 @@ def test_segment_matmul_empty_segment_and_padding():
     assert out.shape == (10, 4)
     assert_allclose(out[0:4], inputs[0:4] @ other[0], rtol=1e-4, atol=1e-4)
     assert_allclose(out[4:8], inputs[4:8] @ other[2], rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_matmul_bias_and_version():
+    import pyg_lib_tpu
+
+    # Version string parity (reference test/test_version.py intent).
+    assert isinstance(pyg_lib_tpu.__version__, str)
+    assert pyg_lib_tpu.__version__.count('.') == 2
+
+    rng = np.random.default_rng(9)
+    xs = [rng.normal(size=(m, 6)).astype(np.float32) for m in (4, 7)]
+    ws = [rng.normal(size=(6, 5)).astype(np.float32) for _ in range(2)]
+    bs = [rng.normal(size=(5, )).astype(np.float32) for _ in range(2)]
+    outs = ops.grouped_matmul([jnp.asarray(x) for x in xs],
+                              [jnp.asarray(w) for w in ws],
+                              [jnp.asarray(b) for b in bs])
+    for x, w, b, o in zip(xs, ws, bs, outs):
+        assert_allclose(np.asarray(o), x @ w + b, rtol=1e-4, atol=1e-4)
