@@ -86,6 +86,17 @@ def segment_mean_coo(
     if index.ndim > 1:
         raise NotImplementedError(
             'multi-dimensional COO index: use vmap over leading axes')
+    if (src.ndim == 2 and index.ndim == 1
+            and src.shape[0] == index.shape[0]):
+        # Sorted indices are a CSR: sum via the Pallas kernel, divide by
+        # per-segment counts (same routing as segment_sum_coo).
+        from pyg_lib_tpu.ops.segment_csr import segment_mean_csr
+
+        if out is not None:
+            dim_size = out.shape[0]
+        n = infer_dim_size(index, dim_size)
+        indptr = _coo_to_indptr(index, n)
+        return segment_mean_csr(src, indptr, out)
     return scatter_mean(src, index, _coo_dim(index), out, dim_size)
 
 

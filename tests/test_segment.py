@@ -138,3 +138,29 @@ def test_segment_csr_3d():
     out = ops.segment_sum_csr(jnp.asarray(src), jnp.asarray(indptr))
     expected = np.stack([src[0:5].sum(0), src[5:8].sum(0)])
     assert_allclose(out, expected, rtol=1e-5)
+
+
+def test_segment_mean_coo_csr_routing():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyg_lib_tpu import ops
+
+    rng = np.random.default_rng(41)
+    n, e, f = 50, 400, 128
+    idx = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+    src = rng.normal(size=(e, f)).astype(np.float32)
+    out = np.asarray(ops.segment_mean_coo(jnp.asarray(src),
+                                          jnp.asarray(idx), dim_size=n))
+    ref = np.zeros((n, f), np.float32)
+    np.add.at(ref, idx, src)
+    cnt = np.maximum(np.bincount(idx, minlength=n), 1)
+    ref = ref / cnt[:, None]
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+    # with out= accumulate semantics
+    base = rng.normal(size=(n, f)).astype(np.float32)
+    out2 = np.asarray(ops.segment_mean_coo(jnp.asarray(src),
+                                           jnp.asarray(idx),
+                                           out=jnp.asarray(base)))
+    np.testing.assert_allclose(out2, base + ref, atol=1e-4, rtol=1e-4)
