@@ -155,14 +155,16 @@ def scatter_mean(
         dim_size = out.shape[dim]
     dim_size = infer_dim_size(index, dim_size)
     sums = scatter_sum(src, index, dim, None, dim_size)
-    ones = jnp.ones(index.shape if index.ndim > 1 else (src.shape[dim], ),
-                    dtype=jnp.int32)
-    count = jnp.zeros((dim_size, ), jnp.int32).at[
-        index if index.ndim == 1 else index.reshape(-1)].add(
-            ones.reshape(-1), mode='drop')
-    count_shape = [1] * src.ndim
-    count_shape[dim] = dim_size
-    count_b = count.reshape(count_shape)
+    if index.ndim > 1:
+        # Elementwise index: each (bucket, column) has its own count.
+        count_b = scatter_sum(jnp.ones_like(src, dtype=jnp.int32), index,
+                              dim, None, dim_size)
+    else:
+        count = jnp.zeros((dim_size, ), jnp.int32).at[index].add(
+            jnp.ones((src.shape[dim], ), jnp.int32), mode='drop')
+        count_shape = [1] * src.ndim
+        count_shape[dim] = dim_size
+        count_b = count.reshape(count_shape)
     count_safe = jnp.maximum(count_b, 1)
     if jnp.issubdtype(src.dtype, jnp.floating):
         result = sums / count_safe.astype(src.dtype)
@@ -208,16 +210,17 @@ def _scatter_minmax_fwd(src, index, dim, out, dim_size, is_min):
     vals_out = _unflatten(vals, moved_shape, dim, dim_size)
     arg_out = _unflatten(arg, moved_shape, dim, dim_size)
     if out is not None:
-        if is_min:
-            vals_out = jnp.where(
-                jnp.moveaxis(touched.reshape(
-                    (dim_size, ) + tuple(moved_shape[1:])), 0, dim),
-                jnp.minimum(out, vals_out), out)
-        else:
-            vals_out = jnp.where(
-                jnp.moveaxis(touched.reshape(
-                    (dim_size, ) + tuple(moved_shape[1:])), 0, dim),
-                jnp.maximum(out, vals_out), out)
+        mask = jnp.moveaxis(
+            touched.reshape((dim_size, ) + tuple(moved_shape[1:])), 0, dim)
+        combine = jnp.minimum if is_min else jnp.maximum
+        better = (out < vals_out) if is_min else (out > vals_out)
+        combined = jnp.where(mask, combine(out, vals_out), out)
+        # Where out (strictly) wins or the bucket is empty, no src element
+        # produced the value: record the sentinel so the VJP drops the
+        # cotangent there instead of crediting a losing src element.
+        out_wins = jnp.logical_or(jnp.logical_not(mask), better)
+        arg_out = jnp.where(out_wins, jnp.int32(n), arg_out)
+        vals_out = combined
     return vals_out, arg_out
 
 

@@ -242,7 +242,12 @@ def gather_csr(src: Array, indptr: Array, out: Optional[Array] = None,
         out_size = int(jax.device_get(indptr[-1]))
     result = gather_csr_impl(src, indptr, out_size)
     if out is not None:
-        result = result.astype(out.dtype)
+        # Only positions [0, indptr[-1]) are written; out's tail is kept
+        # (reference writes in place, csrc/ops/cpu/segment_csr_kernel.cpp).
+        ids = indptr_to_index(indptr, out_size)
+        written = (ids < indptr.shape[0] - 1).reshape(
+            (-1, ) + (1, ) * (src.ndim - 1))
+        result = jnp.where(written, result.astype(out.dtype), out)
     return result
 
 

@@ -173,3 +173,42 @@ def test_fused_scatter_reduce(data):
     assert_allclose(out[:, :4], sums, rtol=1e-5)
     mins, _ = _scatter_minmax_ref(src, index, 6, True)
     assert_allclose(out[:, 8:12], mins, rtol=1e-5)
+
+
+def test_scatter_mean_elementwise_index_per_column_counts():
+    # Regression: counts must be per (bucket, column), not flattened.
+    src = jnp.asarray(np.array([[1.0, 1.0], [1.0, 1.0]], np.float32))
+    index = jnp.asarray(np.array([[0, 0], [0, 1]]))
+    out = np.asarray(ops.scatter_mean(src, index, dim=0, dim_size=2))
+    np.testing.assert_allclose(out, [[1.0, 1.0], [0.0, 1.0]])
+
+
+def test_scatter_min_out_wins_sentinel_and_grad():
+    # Regression: when `out` beats every src element, arg must be the
+    # sentinel and no cotangent may flow to src.
+    src = jnp.asarray(np.array([5.0, 7.0], np.float32))
+    index = jnp.asarray(np.array([0, 0]))
+    out0 = jnp.asarray(np.array([1.0], np.float32))
+    vals, arg = ops.scatter_min(src, index, dim=0, out=out0)
+    assert float(vals[0]) == 1.0
+    assert int(arg[0]) == 2  # sentinel == src.shape[dim]
+
+    g = jax.grad(lambda s: ops.scatter_min(s, index, dim=0,
+                                           out=out0)[0].sum())(src)
+    np.testing.assert_allclose(np.asarray(g), [0.0, 0.0])
+
+    # and when src wins, the winner still gets the cotangent
+    out1 = jnp.asarray(np.array([9.0], np.float32))
+    vals, arg = ops.scatter_min(src, index, dim=0, out=out1)
+    assert float(vals[0]) == 5.0 and int(arg[0]) == 0
+    g = jax.grad(lambda s: ops.scatter_min(s, index, dim=0,
+                                           out=out1)[0].sum())(src)
+    np.testing.assert_allclose(np.asarray(g), [1.0, 0.0])
+
+
+def test_gather_csr_preserves_out_tail():
+    src = jnp.asarray(np.array([[1.0], [2.0]], np.float32))
+    indptr = jnp.asarray(np.array([0, 1, 2]))
+    out = jnp.full((4, 1), 9.0)
+    res = np.asarray(ops.gather_csr(src, indptr, out=out))
+    np.testing.assert_allclose(res[:, 0], [1.0, 2.0, 9.0, 9.0])
