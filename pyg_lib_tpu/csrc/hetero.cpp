@@ -62,8 +62,26 @@ struct HeteroOutputs {
   std::vector<std::vector<int64_t>> nodes, batches, nodes_per_hop;
 };
 
-void run_hetero(const HeteroArgs& a, HeteroOutputs& o) {
+// Returns false on invalid input: a seed id outside its type's node_time
+// segment would read past the concatenated time array (num_nodes is
+// estimated from rowptr/col/node_time extents and can undershoot, so the
+// estimate alone cannot make the lookup safe). The numpy specification
+// raises IndexError for the same inputs. Seed ids beyond the rowptr
+// estimate are otherwise VALID (isolated nodes): the Mapper routes them
+// through its exact-keyed rare path and expansion skips them (v >= n_src
+// below), matching the numpy spec.
+bool run_hetero(const HeteroArgs& a, HeteroOutputs& o) {
   const bool temporal = a.node_time_cat || a.edge_time_cat;
+  if (a.node_time_cat) {
+    for (int64_t t = 0; t < a.T; ++t) {
+      if (!a.has_node_time[t]) continue;
+      const int64_t nt_len = a.node_time_off[t + 1] - a.node_time_off[t];
+      for (int64_t i = a.seed_off[t]; i < a.seed_off[t + 1]; ++i) {
+        const int64_t v = a.seed_cat[i];
+        if (v < 0 || v >= nt_len) return false;
+      }
+    }
+  }
   o.rows.resize(a.K);
   o.cols.resize(a.K);
   o.eids.resize(a.K);
@@ -200,6 +218,7 @@ void run_hetero(const HeteroArgs& a, HeteroOutputs& o) {
       o.nodes_per_hop[t].push_back(slices[t].second - slices[t].first);
     }
   }
+  return true;
 }
 
 }  // namespace
@@ -228,7 +247,10 @@ HeteroResult* pygt_hetero_sample(
                seed_time_cat, has_weight, has_edge_time, has_node_time,
                (bool)replace, (bool)disjoint, (bool)temporal_last,
                (bool)return_edge_id, rng_seed};
-  run_hetero(a, r->o);
+  if (!run_hetero(a, r->o)) {
+    delete r;
+    return nullptr;  // Python wrapper raises on NULL.
+  }
   return r;
 }
 

@@ -51,8 +51,15 @@ struct SampleArgs {
 // Layer-by-layer frontier expansion (reference sample<> driver,
 // neighbor_kernel.cpp:332-514) with a begin/end sliding window over the
 // flat sampled-nodes vector.
-void run_sample(const SampleArgs& a, Outputs& o) {
+// Returns false on invalid input (out-of-range seed id, or temporal mode
+// without disjoint — which would read an empty seed_times vector). The
+// Python layer rejects both before calling, but the C ABI must not be one
+// caller away from UB.
+bool run_sample(const SampleArgs& a, Outputs& o) {
   const bool temporal = a.node_time || a.edge_time;
+  if (temporal && !a.disjoint) return false;
+  for (int64_t i = 0; i < a.num_seed; ++i)
+    if (a.seed[i] < 0 || a.seed[i] >= a.num_nodes) return false;
   Mapper mapper(a.num_nodes, a.disjoint);
   IndexTracker tracker;
   std::vector<int64_t> offs;
@@ -130,6 +137,7 @@ void run_sample(const SampleArgs& a, Outputs& o) {
     o.nodes_per_hop.push_back((int64_t)(end - begin));
     o.edges_per_hop.push_back(hop_edges);
   }
+  return true;
 }
 
 }  // namespace
@@ -155,7 +163,10 @@ SampleResult* pygt_neighbor_sample(
                node_time, edge_time, seed_time, (bool)replace,
                (bool)disjoint, (bool)temporal_last, (bool)return_edge_id,
                (bool)distributed, rng_seed};
-  run_sample(a, r->o);
+  if (!run_sample(a, r->o)) {
+    delete r;
+    return nullptr;  // Python wrapper raises on NULL.
+  }
   return r;
 }
 

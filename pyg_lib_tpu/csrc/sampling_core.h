@@ -12,7 +12,9 @@
 #include <cmath>
 #include <cstdint>
 #include <limits>
+#include <map>
 #include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace pygt {
@@ -111,6 +113,8 @@ struct Mapper {
   bool use_vec;
   std::vector<int64_t> vec;  // -1 = absent
   FlatHashMap map;
+  // Exact-keyed cold path for nodes outside [0, num_nodes).
+  std::map<std::pair<int64_t, int64_t>, int64_t> rare;
   int64_t count = 0;
 
   explicit Mapper(int64_t n, bool disjoint) : num_nodes(n) {
@@ -120,20 +124,23 @@ struct Mapper {
 
   // Injective (batch, node) packing for in-range nodes: batch * N + node.
   // (The previous shifted-XOR packing aliased batches above 2^24 and
-  // node ids above 2^40.) Out-of-range nodes (hashmap fall-through for
-  // undershooting node-count estimates) use a tagged rare-path encoding.
+  // node ids above 2^40.)
   inline uint64_t key(int64_t batch, int64_t node) const {
-    if (node >= 0 && node < num_nodes)
-      return (uint64_t)batch * (uint64_t)num_nodes + (uint64_t)node;
-    return (1ULL << 63) | ((uint64_t)(uint32_t)batch << 40) ^ (uint64_t)node;
+    return (uint64_t)batch * (uint64_t)num_nodes + (uint64_t)node;
   }
 
   // Returns (local_id, inserted). Nodes outside [0, num_nodes) — possible
   // when the caller's node-count estimate undershoots (e.g. hetero seed
-  // ids beyond every edge endpoint) — fall through to the hashmap instead
-  // of indexing past the dense vector.
+  // ids beyond every edge endpoint) — go through an exact-keyed rare-path
+  // map (cold; collision-free for any (batch, node), unlike any 64-bit
+  // packing) instead of indexing past the dense vector.
   inline std::pair<int64_t, bool> insert(int64_t batch, int64_t node) {
-    if (use_vec && node >= 0 && node < (int64_t)vec.size()) {
+    if (node < 0 || node >= num_nodes) {
+      auto res = rare.emplace(std::make_pair(batch, node), count);
+      if (res.second) count++;
+      return {res.first->second, res.second};
+    }
+    if (use_vec) {
       int64_t& slot = vec[(size_t)node];
       if (slot >= 0) return {slot, false};
       slot = count++;

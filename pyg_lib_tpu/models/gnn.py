@@ -275,9 +275,17 @@ def gat_forward_spmm(params: Dict, x: Array, graph) -> Array:
         logits = (jnp.take(s_src, plan.col_padded, axis=0) +
                   jnp.take(s_dst, plan.row_padded, axis=0))  # [E_pad, H]
         logits = jax.nn.leaky_relu(logits, negative_slope=0.2)
+        # The Pallas softmax kernel needs a lane-aligned (multiple of 128)
+        # feature width: tile the head logits across lanes and zero-pad the
+        # remainder when heads does not divide 128 (e.g. heads=12 -> width
+        # 120 -> pad to 128; pad columns compute a softmax of zeros that is
+        # sliced away).
         rep = max(128 // heads, 1)
-        alpha = segment_softmax_padded(
-            jnp.tile(logits, (1, rep)), plan)[:, :heads]  # [E_pad, H]
+        tiled = jnp.tile(logits, (1, rep))
+        pad = (-tiled.shape[1]) % 128
+        if pad:
+            tiled = jnp.pad(tiled, ((0, 0), (0, pad)))
+        alpha = segment_softmax_padded(tiled, plan)[:, :heads]  # [E_pad, H]
         msgs = jnp.take(h, plan.col_padded, axis=0).reshape(
             -1, heads, out_h)
         msgs = (msgs * alpha[:, :, None]).reshape(-1, hf)

@@ -78,7 +78,18 @@ _PLANNED_MIN_EDGES = 65536
 
 def _plan_for(ptr) -> 'object':
     ptr_np = np.asarray(ptr)
-    key = (ptr_np.ctypes.data, ptr_np.shape[0])
+    if isinstance(ptr, np.ndarray):
+        # Stable host buffer: identity key (validated against the stored
+        # copy below).
+        key = (ptr_np.ctypes.data, ptr_np.shape[0])
+    else:
+        # Device arrays/lists copy to a fresh host buffer on every
+        # np.asarray, so an address key would miss (or collide on
+        # allocator reuse) every call and rebuild the O(E) plan — key by
+        # content instead (same scheme as ops.spmm.spmm_csr).
+        import hashlib
+
+        key = (hashlib.sha1(ptr_np.tobytes()).hexdigest(), ptr_np.shape[0])
     hit = _PLAN_CACHE.get(key)
     if hit is not None and np.array_equal(hit[1], ptr_np):
         return hit[0]

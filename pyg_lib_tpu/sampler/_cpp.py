@@ -140,6 +140,10 @@ def neighbor_sample_cpp(
         _ptr(et), _ptr(st), int(replace), int(disjoint),
         int(temporal_strategy == 'last'), int(return_edge_id),
         int(distributed), rng_seed & (2**64 - 1))
+    if not handle:
+        raise IndexError(
+            'neighbor_sample: seed id out of range [0, num_nodes), or '
+            'temporal sampling without disjoint=True')
     try:
         sizes = np.zeros(5, np.int64)
         lib.pygt_result_sizes(handle, _ptr(sizes))
@@ -435,6 +439,10 @@ def _hetero_sample_run(lib, g, seed_dict, num_neighbors_dict, seed_time_dict,
         _ptr(g.has_node_time, i32), int(replace), int(disjoint),
         int(temporal_strategy == 'last'), int(return_edge_id),
         rng_seed & (2**64 - 1))
+    if not handle:
+        raise IndexError(
+            "hetero_neighbor_sample: a seed id is outside its node type's "
+            'range or node_time segment')
     try:
         edge_sizes = np.zeros(K, np.int64)
         node_sizes = np.zeros(T, np.int64)

@@ -351,3 +351,27 @@ def test_cpp_hetero_missing_seed_node_time_raises():
             {k: [1] for k in rowptr_d},
             node_time_dict={'a': np.array([3], np.int64)},
             disjoint=True, rng=0, impl='cpp')
+
+
+def test_cpp_homogeneous_seed_out_of_range_raises():
+    # The C ABI itself guards seeds (csrc/sampler.cpp run_sample returns
+    # false -> NULL handle -> IndexError), not just the Python spec path.
+    rowptr = np.array([0, 1, 2], np.int64)
+    col = np.array([1, 0], np.int64)
+    for bad in (7, -1):
+        with pytest.raises(IndexError):
+            sampler.neighbor_sample(rowptr, col, seed=np.array([bad]),
+                                    num_neighbors=[1], impl='cpp')
+
+
+def test_cpp_mapper_rare_path_distinct_high_ids():
+    # Seeds far beyond the rowptr estimate exercise the Mapper's
+    # exact-keyed rare path: distinct huge ids must stay distinct (the old
+    # shifted-XOR packing aliased node ids >= 2^40).
+    big = 1 << 41
+    rowptr_d = {('u', 'r', 'v'): np.array([0, 1], np.int64)}
+    col_d = {('u', 'r', 'v'): np.array([0], np.int64)}
+    out = sampler.hetero_neighbor_sample(
+        rowptr_d, col_d, {'u': np.array([big, big + (1 << 40), big])},
+        {('u', 'r', 'v'): [1]}, rng=0, impl='cpp')
+    assert out[2]['u'].tolist() == [big, big + (1 << 40)]  # deduped, distinct
