@@ -66,7 +66,7 @@ def _fps_one(pts: Array, m: int, start: int) -> Array:
         return dist, idxs
 
     idxs = jnp.zeros((m, ), jnp.int32).at[0].set(start)
-    dist = jnp.full((n, ), jnp.inf, jnp.float32)
+    dist = jnp.full((n, ), jnp.inf, pts.dtype)
     _, idxs = jax.lax.fori_loop(1, m, body, (dist, idxs))
     return idxs
 

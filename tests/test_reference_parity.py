@@ -1,0 +1,560 @@
+"""Golden parity against the ACTUAL reference library (libpyg.so).
+
+Round 1 proved parity against numpy/plain-torch oracles only; this suite
+calls the reference's own kernels through ``torch.ops.pyg.*`` on shared
+random inputs and asserts agreement op for op, plus layer-for-layer GCN
+activations (BASELINE.md parity row).
+
+The reference is built CPU-only by ``tools/build_reference.py`` (the
+in-repo tree has empty submodules and CMake writes into its source dir,
+so the build runs from a patched copy). The suite skips — with the build
+command in the skip reason — when the library is absent, e.g. in CI
+containers that have not run the ~15 min build.
+
+RNG-dependent ops (sampling with finite fanout, fps with random_start,
+random_walk) cannot match draw-for-draw across engines (the reference
+uses ATen's RNG; pyg_lib_tpu uses counter-based SplitMix64 streams), so
+they are compared on deterministic configurations (full fanout, fixed
+start) where both engines must enumerate identically.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from pyg_lib_tpu import ops, sampler
+
+_LIB = os.environ.get('PYGT_REFERENCE_LIB', '/tmp/refsrc/build/libpyg.so')
+
+if not os.path.exists(_LIB):
+    pytest.skip(
+        f'reference libpyg.so not found at {_LIB}; build it with '
+        '`python tools/build_reference.py` (~15 min, CPU-only)',
+        allow_module_level=True)
+
+torch.ops.load_library(_LIB)
+torch.set_num_threads(1)  # the phmap build shim is not thread-safe
+pyg = torch.ops.pyg
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def _n(x):
+    return x.numpy() if isinstance(x, torch.Tensor) else np.asarray(x)
+
+
+def _csr(rng, n_rows, n_cols, e):
+    deg = rng.multinomial(e, np.ones(n_rows) / n_rows)
+    rowptr = np.zeros(n_rows + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n_cols, size=e)
+    return rowptr, col.astype(np.int64)
+
+
+# --------------------------------------------------------------- scatter ----
+
+
+@pytest.mark.parametrize('dtype', [np.float32, np.float64])
+@pytest.mark.parametrize('reduce', ['sum', 'mean', 'mul'])
+def test_scatter_value_ops(dtype, reduce):
+    rng = np.random.default_rng(0)
+    n, e, f = 13, 64, 5
+    idx = rng.integers(0, n, size=e)
+    src = rng.normal(size=(e, f)).astype(dtype)
+    if reduce == 'mul':
+        src = np.abs(src) + 0.1  # keep products well-conditioned
+
+    ref = _n(getattr(pyg, f'scatter_{reduce}')(_t(src), _t(idx), 0, None, n))
+    out = np.asarray(
+        getattr(ops, f'scatter_{reduce}')(jnp.asarray(src), jnp.asarray(idx),
+                                          dim=0, dim_size=n))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize('reduce', ['min', 'max'])
+def test_scatter_minmax_with_arg(reduce):
+    rng = np.random.default_rng(1)
+    n, e, f = 11, 50, 4
+    idx = rng.integers(0, n, size=e)
+    src = rng.normal(size=(e, f))
+
+    ref_val, ref_arg = getattr(pyg, f'scatter_{reduce}')(
+        _t(src), _t(idx), 0, None, n)
+    out, arg = getattr(ops, f'scatter_{reduce}')(jnp.asarray(src),
+                                                 jnp.asarray(idx), dim=0,
+                                                 dim_size=n)
+    # Reference empty buckets: value 0 (uninitialized out zero-fill differs
+    # by op; compare only non-empty), argindex sentinel = e for both.
+    counts = np.bincount(idx, minlength=n)
+    mask = counts > 0
+    np.testing.assert_allclose(np.asarray(out)[mask], _n(ref_val)[mask])
+    np.testing.assert_array_equal(np.asarray(arg), _n(ref_arg))
+
+
+def test_scatter_sum_out_accumulates_like_reference():
+    rng = np.random.default_rng(2)
+    n, e, f = 7, 30, 3
+    idx = rng.integers(0, n, size=e)
+    src = rng.normal(size=(e, f))
+    base = rng.normal(size=(n, f))
+
+    ref = _n(pyg.scatter_sum(_t(src), _t(idx), 0, _t(base).clone(), None))
+    out = np.asarray(
+        ops.scatter_sum(jnp.asarray(src), jnp.asarray(idx), dim=0,
+                        out=jnp.asarray(base)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-8)
+
+
+def test_scatter_along_inner_dim():
+    rng = np.random.default_rng(3)
+    b, e, n = 4, 40, 9
+    idx = rng.integers(0, n, size=e)
+    src = rng.normal(size=(b, e))
+    ref = _n(pyg.scatter_sum(_t(src), _t(idx), 1, None, n))
+    out = np.asarray(
+        ops.scatter_sum(jnp.asarray(src), jnp.asarray(idx), dim=1,
+                        dim_size=n))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-8)
+
+
+# ----------------------------------------------------------- segment CSR ----
+
+
+@pytest.mark.parametrize('reduce', ['sum', 'mean', 'min', 'max'])
+def test_segment_csr(reduce):
+    rng = np.random.default_rng(4)
+    n, e, f = 17, 80, 6
+    rowptr, _ = _csr(rng, n, n, e)
+    src = rng.normal(size=(e, f))
+
+    ref = getattr(pyg, f'segment_{reduce}_csr')(_t(src), _t(rowptr), None)
+    mine = getattr(ops, f'segment_{reduce}_csr')(jnp.asarray(src),
+                                                 jnp.asarray(rowptr))
+    if reduce in ('min', 'max'):
+        ref_val, ref_arg = ref
+        out, arg = mine
+        counts = np.diff(rowptr) > 0
+        np.testing.assert_allclose(np.asarray(out)[counts],
+                                   _n(ref_val)[counts])
+        np.testing.assert_array_equal(np.asarray(arg), _n(ref_arg))
+    else:
+        np.testing.assert_allclose(np.asarray(mine), _n(ref), rtol=1e-6,
+                                   atol=1e-8)
+
+
+def test_gather_csr():
+    rng = np.random.default_rng(5)
+    n, e, f = 12, 70, 4
+    rowptr, _ = _csr(rng, n, n, e)
+    src = rng.normal(size=(n, f))
+    ref = _n(pyg.gather_csr(_t(src), _t(rowptr), None))
+    out = np.asarray(ops.gather_csr(jnp.asarray(src), jnp.asarray(rowptr)))
+    np.testing.assert_allclose(out, ref)
+
+
+# ----------------------------------------------------------- segment COO ----
+
+
+@pytest.mark.parametrize('reduce', ['sum', 'mean', 'min', 'max'])
+def test_segment_coo(reduce):
+    rng = np.random.default_rng(6)
+    n, e, f = 15, 90, 3
+    idx = np.sort(rng.integers(0, n, size=e))
+    src = rng.normal(size=(e, f))
+
+    ref = getattr(pyg, f'segment_{reduce}_coo')(_t(src), _t(idx), None, n)
+    mine = getattr(ops, f'segment_{reduce}_coo')(jnp.asarray(src),
+                                                 jnp.asarray(idx),
+                                                 dim_size=n)
+    if reduce in ('min', 'max'):
+        ref_val, ref_arg = ref
+        out, arg = mine
+        counts = np.bincount(idx, minlength=n) > 0
+        np.testing.assert_allclose(np.asarray(out)[counts],
+                                   _n(ref_val)[counts])
+        np.testing.assert_array_equal(np.asarray(arg), _n(ref_arg))
+    else:
+        np.testing.assert_allclose(np.asarray(mine), _n(ref), rtol=1e-6,
+                                   atol=1e-8)
+
+
+def test_gather_coo():
+    rng = np.random.default_rng(7)
+    n, e, f = 10, 45, 5
+    idx = np.sort(rng.integers(0, n, size=e))
+    src = rng.normal(size=(n, f))
+    ref = _n(pyg.gather_coo(_t(src), _t(idx), None))
+    out = np.asarray(ops.gather_coo(jnp.asarray(src), jnp.asarray(idx)))
+    np.testing.assert_allclose(out, ref)
+
+
+# ---------------------------------------------------------------- matmul ----
+
+
+def test_segment_matmul_fwd_and_grads():
+    rng = np.random.default_rng(8)
+    ptr = np.array([0, 5, 5, 12, 20], np.int64)
+    k, m = 6, 7
+    inputs = rng.normal(size=(20, k))
+    other = rng.normal(size=(4, k, m))
+
+    ti, to = _t(inputs).requires_grad_(True), _t(other).requires_grad_(True)
+    ref = pyg.segment_matmul(ti, _t(ptr), to)
+    g = torch.from_numpy(rng.normal(size=ref.shape))
+    ref.backward(g)
+
+    import jax
+
+    out, vjp = jax.vjp(
+        lambda a, b: ops.segment_matmul(a, jnp.asarray(ptr), b),
+        jnp.asarray(inputs), jnp.asarray(other))
+    gi, go = vjp(jnp.asarray(_n(g.detach())))
+    np.testing.assert_allclose(np.asarray(out), _n(ref.detach()), rtol=1e-6,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gi), _n(ti.grad), rtol=1e-6,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(go), _n(to.grad), rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_grouped_matmul():
+    rng = np.random.default_rng(9)
+    shapes = [(5, 4, 6), (3, 4, 6), (7, 2, 3)]
+    ins = [rng.normal(size=(m, k)) for m, k, _ in shapes]
+    others = [rng.normal(size=(k, n)) for _, k, n in shapes]
+    refs = pyg.grouped_matmul([_t(a) for a in ins], [_t(b) for b in others])
+    outs = ops.grouped_matmul([jnp.asarray(a) for a in ins],
+                              [jnp.asarray(b) for b in others])
+    for o, r in zip(outs, refs):
+        np.testing.assert_allclose(np.asarray(o), _n(r), rtol=1e-6,
+                                   atol=1e-8)
+
+
+# --------------------------------------------------------------- softmax ----
+
+
+def test_softmax_csr_fwd_bwd():
+    rng = np.random.default_rng(10)
+    n, e, f = 9, 60, 4
+    rowptr, _ = _csr(rng, n, n, e)
+    # float32: the reference CPU kernel is float-only (its init uses
+    # std::numeric_limits<float>::lowest and f64 inputs overflow-error).
+    src = rng.normal(size=(e, f)).astype(np.float32)
+    g = rng.normal(size=(e, f)).astype(np.float32)
+
+    ref = pyg.softmax_csr(_t(src), _t(rowptr), 0)
+    ref_grad = pyg.softmax_csr_backward(ref, _t(g), _t(rowptr), 0)
+
+    import jax
+
+    out, vjp = jax.vjp(
+        lambda s: ops.softmax_csr(s, jnp.asarray(rowptr), dim=0),
+        jnp.asarray(src))
+    grad, = vjp(jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(out), _n(ref), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad), _n(ref_grad), rtol=1e-4,
+                               atol=1e-5)
+
+
+# --------------------------------------------------------------- sampled ----
+
+
+@pytest.mark.parametrize('op', ['add', 'sub', 'mul', 'div'])
+def test_sampled_ops(op):
+    rng = np.random.default_rng(11)
+    n, m, e, f = 14, 12, 33, 5
+    li = rng.integers(0, n, size=e)
+    ri = rng.integers(0, m, size=e)
+    left = rng.normal(size=(n, f))
+    right = rng.normal(size=(m, f)) + 3.0  # avoid div-by-~0
+
+    ref = _n(pyg.sampled_op(_t(left), _t(right), _t(li), _t(ri), op))
+    out = np.asarray(
+        getattr(ops, f'sampled_{op}')(jnp.asarray(left), jnp.asarray(right),
+                                      jnp.asarray(li), jnp.asarray(ri)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-8)
+
+
+# ------------------------------------------------------------- index_sort ----
+
+
+def test_index_sort():
+    rng = np.random.default_rng(12)
+    x = rng.integers(0, 100, size=257)
+    ref_v, ref_i = pyg.index_sort(_t(x), None)
+    v, i = ops.index_sort(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(v), _n(ref_v))
+    # The reference's parallel radix sort is NOT stable for tied keys
+    # (observed: tied indices out of order), so indices are compared as a
+    # valid permutation: both must sort, and ours must additionally be the
+    # STABLE argsort (documented contract of ops.index_sort).
+    i = np.asarray(i)
+    np.testing.assert_array_equal(x[i], _n(ref_v))
+    np.testing.assert_array_equal(i, np.argsort(x, kind='stable'))
+
+
+# ----------------------------------------------------------------- spline ----
+
+
+@pytest.mark.parametrize('degree', [1, 2, 3])
+def test_spline_basis_and_weighting(degree):
+    rng = np.random.default_rng(13)
+    e, d = 25, 3
+    kernel_size = np.array([5, 4, 3], np.int64)
+    is_open = np.array([1, 0, 1], np.uint8)
+    pseudo = rng.uniform(size=(e, d))
+
+    ref_basis, ref_wi = pyg.spline_basis(_t(pseudo), _t(kernel_size),
+                                         _t(is_open), degree)
+    basis, wi = ops.spline_basis(jnp.asarray(pseudo),
+                                 jnp.asarray(kernel_size),
+                                 jnp.asarray(is_open), degree)
+    np.testing.assert_allclose(np.asarray(basis), _n(ref_basis), rtol=1e-6,
+                               atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(wi), _n(ref_wi))
+
+    m_in, m_out = 6, 7
+    K = int(np.prod(kernel_size))
+    x = rng.normal(size=(e, m_in))
+    weight = rng.normal(size=(K, m_in, m_out))
+    ref_out = _n(pyg.spline_weighting(_t(x), _t(weight), ref_basis, ref_wi))
+    out = np.asarray(
+        ops.spline_weighting(jnp.asarray(x), jnp.asarray(weight), basis, wi))
+    np.testing.assert_allclose(out, ref_out, rtol=1e-5, atol=1e-7)
+
+
+# --------------------------------------------------------------- geometry ----
+
+
+def test_fps_deterministic_start():
+    rng = np.random.default_rng(14)
+    pts = rng.normal(size=(40, 3))
+    ptr = np.array([0, 25, 40], np.int64)
+    ref = _n(pyg.fps(_t(pts), _t(ptr), 0.5, False))
+    out = np.asarray(
+        ops.fps(jnp.asarray(pts), jnp.asarray(ptr), ratio=0.5,
+                random_start=False))
+    np.testing.assert_array_equal(np.sort(out), np.sort(ref))
+
+
+def test_knn_sets():
+    rng = np.random.default_rng(15)
+    x = rng.normal(size=(30, 3))
+    y = rng.normal(size=(10, 3))
+    k = 4
+    ref = _n(pyg.knn(_t(x), _t(y), None, None, k, False, 1))
+    mine = np.asarray(ops.knn(jnp.asarray(x), jnp.asarray(y), k=k))
+    # Row order within a query is implementation-defined: compare sets.
+    def sets(pairs):
+        d = {}
+        for q, s in pairs.T if pairs.shape[0] == 2 else pairs:
+            d.setdefault(int(q), set()).add(int(s))
+        return d
+
+    assert sets(np.asarray(ref)) == sets(mine)
+
+
+def test_nearest():
+    rng = np.random.default_rng(16)
+    x = rng.normal(size=(50, 3))
+    y = rng.normal(size=(8, 3))
+    ref = _n(pyg.nearest(_t(x), _t(y), None, None))
+    out = np.asarray(ops.nearest(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_radius_sets():
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=(60, 2))
+    y = rng.normal(size=(9, 2))
+    r = 0.9
+    ref = _n(pyg.radius(_t(x), _t(y), None, None, r, 100, 1, False))
+    mine = np.asarray(
+        ops.radius(jnp.asarray(x), jnp.asarray(y), r=r,
+                   max_num_neighbors=100))
+
+    def sets(pairs):
+        d = {}
+        for q, s in pairs.T:
+            d.setdefault(int(q), set()).add(int(s))
+        return d
+
+    assert sets(ref) == sets(mine)
+
+
+def test_grid_cluster():
+    rng = np.random.default_rng(18)
+    pos = rng.normal(size=(45, 2)) * 4
+    size = np.array([1.0, 1.5])
+    ref = _n(pyg.grid_cluster(_t(pos), _t(size), None, None))
+    out = np.asarray(ops.grid_cluster(jnp.asarray(pos), jnp.asarray(size)))
+    np.testing.assert_array_equal(out, ref)
+
+
+# --------------------------------------------------------------- sampling ----
+
+
+def _cycle(n):
+    # Every node i links to (i-1, i+1) mod n — hand-computable outputs
+    # (the reference C++ tests use the same fixture, test/csrc/graph.h).
+    rowptr = np.arange(0, 2 * n + 1, 2, dtype=np.int64)
+    col = np.stack([(np.arange(n) - 1) % n,
+                    (np.arange(n) + 1) % n], 1).reshape(-1).astype(np.int64)
+    return rowptr, col
+
+
+def test_neighbor_sample_full_fanout_exact():
+    rowptr, col = _cycle(8)
+    seed = np.array([1, 5], np.int64)
+    ref = pyg.neighbor_sample(_t(rowptr), _t(col), _t(seed), [-1, -1], None,
+                              None, None, None, False, False, True, False,
+                              'uniform', True)
+    out = sampler.neighbor_sample(rowptr, col, seed=seed,
+                                  num_neighbors=[-1, -1])
+    for i in (0, 1, 2, 3):
+        np.testing.assert_array_equal(np.asarray(out[i]), _n(ref[i]))
+    assert list(out[4]) == list(ref[4])
+    assert list(out[5]) == list(ref[5])
+
+
+def test_neighbor_sample_disjoint_full_fanout_exact():
+    rowptr, col = _cycle(10)
+    seed = np.array([0, 4], np.int64)
+    ref = pyg.neighbor_sample(_t(rowptr), _t(col), _t(seed), [-1], None,
+                              None, None, None, False, False, True, True,
+                              'uniform', True)
+    out = sampler.neighbor_sample(rowptr, col, seed=seed,
+                                  num_neighbors=[-1], disjoint=True)
+    for i in (0, 1, 2, 3):
+        np.testing.assert_array_equal(np.asarray(out[i]), _n(ref[i]))
+
+
+def test_neighbor_sample_temporal_full_fanout_exact():
+    rowptr, col = _cycle(12)
+    node_time = np.arange(12, dtype=np.int64)
+    seed = np.array([6, 9], np.int64)
+    ref = pyg.neighbor_sample(_t(rowptr), _t(col), _t(seed), [-1, -1],
+                              _t(node_time), None, None, None, False, False,
+                              True, True, 'uniform', True)
+    out = sampler.neighbor_sample(rowptr, col, seed=seed,
+                                  num_neighbors=[-1, -1],
+                                  node_time=node_time, disjoint=True)
+    for i in (0, 1, 2, 3):
+        np.testing.assert_array_equal(np.asarray(out[i]), _n(ref[i]))
+
+
+def test_hetero_neighbor_sample_full_fanout_exact():
+    rng = np.random.default_rng(19)
+    rowptr_u, col_u = _csr(rng, 6, 5, 12)
+    rowptr_v, col_v = _csr(rng, 5, 6, 10)
+    node_types = ['u', 'v']
+    edge_types = [('u', 'r1', 'v'), ('v', 'r2', 'u')]
+    # reference dict keys join edge types with '__'
+    rowptr_d = {'u__r1__v': _t(rowptr_u), 'v__r2__u': _t(rowptr_v)}
+    col_d = {'u__r1__v': _t(col_u), 'v__r2__u': _t(col_v)}
+    seed_d = {'u': _t(np.array([0, 3], np.int64))}
+    nn_d = {'u__r1__v': [-1, -1], 'v__r2__u': [-1, -1]}
+
+    ref = pyg.hetero_neighbor_sample(node_types, edge_types, rowptr_d,
+                                     col_d, seed_d, nn_d, None, None, None,
+                                     None, False, False, True, False,
+                                     'uniform', True)
+    out = sampler.hetero_neighbor_sample(
+        {('u', 'r1', 'v'): rowptr_u, ('v', 'r2', 'u'): rowptr_v},
+        {('u', 'r1', 'v'): col_u, ('v', 'r2', 'u'): col_v},
+        {'u': np.array([0, 3], np.int64)},
+        {('u', 'r1', 'v'): [-1, -1], ('v', 'r2', 'u'): [-1, -1]})
+    row_d, col_out_d, node_d = out[0], out[1], out[2]
+    for et, key in [(('u', 'r1', 'v'), 'u__r1__v'),
+                    (('v', 'r2', 'u'), 'v__r2__u')]:
+        np.testing.assert_array_equal(np.asarray(row_d[et]),
+                                      _n(ref[0][key]))
+        np.testing.assert_array_equal(np.asarray(col_out_d[et]),
+                                      _n(ref[1][key]))
+    for nt in node_types:
+        np.testing.assert_array_equal(np.asarray(node_d[nt]),
+                                      _n(ref[2][nt]))
+
+
+def test_subgraph_exact():
+    rng = np.random.default_rng(20)
+    rowptr, col = _csr(rng, 20, 20, 60)
+    nodes = np.array([2, 3, 7, 11, 19], np.int64)
+    ref = pyg.subgraph(_t(rowptr), _t(col), _t(nodes), True)
+    rp, cc, eid = sampler.subgraph(rowptr, col, nodes)
+    np.testing.assert_array_equal(rp, _n(ref[0]))
+    np.testing.assert_array_equal(cc, _n(ref[1]))
+    np.testing.assert_array_equal(eid, _n(ref[2]))
+
+
+def test_relabel_neighborhood_exact():
+    seed = np.array([3, 7], np.int64)
+    sampled = np.array([3, 7, 1, 4, 1, 9], np.int64)
+    counts = [2, 2]
+    ref = pyg.relabel_neighborhood(_t(seed), _t(sampled[2:]), counts, 10,
+                                   None, False, False)
+    row, col_ = sampler.relabel_neighborhood(seed, sampled[2:], counts, 10)
+    np.testing.assert_array_equal(row, _n(ref[0]))
+    np.testing.assert_array_equal(col_, _n(ref[1]))
+
+
+def test_merge_sampler_outputs_exact():
+    node_ids = [np.array([0, 2, 4], np.int64), np.array([1, 3], np.int64)]
+    edge_ids = [np.array([10, 11, 12], np.int64),
+                np.array([20, 21], np.int64)]
+    cumsum = [[1, 2, 3], [1, 2]]
+    partition_ids = [0, 1, 0]
+    partition_orders = [0, 0, 1]
+    ref = pyg.merge_sampler_outputs([_t(x) for x in node_ids],
+                                    [_t(x) for x in edge_ids], cumsum,
+                                    partition_ids, partition_orders, 2, 1,
+                                    None, False)
+    out = sampler.merge_sampler_outputs(node_ids, edge_ids, cumsum,
+                                        partition_ids, partition_orders,
+                                        num_partitions=2, num_neighbors=1)
+    np.testing.assert_array_equal(out[0], _n(ref[0]))
+    np.testing.assert_array_equal(out[1], _n(ref[1]))
+    assert list(out[3]) == list(ref[3])
+
+
+# ------------------------------------------------------------ layer-level ----
+
+
+def test_gcn_two_layer_activations_match():
+    """BASELINE.md parity row: per-layer activations allclose vs the
+    reference composed the way PyG composes it (gather -> segment_sum_csr
+    -> dense matmul), same weights both sides, float64."""
+    rng = np.random.default_rng(21)
+    n, e, f0, f1, f2 = 40, 160, 8, 16, 4
+    rowptr, col = _csr(rng, n, n, e)
+    x = rng.normal(size=(n, f0))
+    w1 = rng.normal(size=(f0, f1))
+    w2 = rng.normal(size=(f1, f2))
+    deg = np.maximum(np.diff(rowptr), 1.0)
+
+    # reference side (torch + libpyg kernels)
+    xt = _t(x)
+    for w in (w1, w2):
+        msgs = xt[_t(col)]
+        agg = pyg.segment_sum_csr(msgs, _t(rowptr), None)
+        xt = torch.relu((agg / _t(deg)[:, None]) @ _t(w))
+    ref = _n(xt)
+
+    # pyg_lib_tpu side
+    xj = jnp.asarray(x)
+    for w in (w1, w2):
+        msgs = jnp.take(xj, jnp.asarray(col), axis=0)
+        agg = ops.segment_sum_csr(msgs, jnp.asarray(rowptr))
+        xj = jax_relu((agg / jnp.asarray(deg)[:, None]) @ jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(xj), ref, rtol=1e-9, atol=1e-10)
+
+
+def jax_relu(x):
+    return jnp.maximum(x, 0)
