@@ -15,6 +15,7 @@ are host-side by design, mirroring the reference's CPU-only placement.
 """
 
 import math
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -35,10 +36,17 @@ __all__ = [
 
 
 def _pairwise_sqdist(x: Array, y: Array) -> Array:
-    """``[N, M]`` squared distances via the MXU-friendly expansion."""
+    """``[N, M]`` squared distances via the MXU-friendly expansion.
+
+    The cross term runs at HIGHEST precision: default bf16 MXU inputs
+    give ~±0.05 absolute error at unit-normal scales (measured on v5e),
+    which flips radius/knn membership at the boundary — the reference
+    computes exact f32 distances, so these ops must too.
+    """
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)
     y2 = jnp.sum(y * y, axis=-1, keepdims=True)
-    cross = jnp.dot(x, y.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(x, y.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(x2 + y2.T - 2.0 * cross, 0.0)
 
 
@@ -137,13 +145,51 @@ def knn(x: Array, y: Array, k: int = 1,
                   np.concatenate(cols)]).astype(np.int64))
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _radius_blocked(xb: Array, yb: Array, r2: float, kk: int, block: int,
+                    diag_offset: Optional[int]):
+    """Per-batch device pass: first-``kk``-by-index in-radius neighbors.
+
+    Queries run in ``block``-row tiles under ``lax.map`` so the transient
+    distance tile stays ``block × |x|`` no matter how many queries there
+    are (a 1M-point query runs in one jit call). The top-k key
+    ``|x| - col`` is monotone-decreasing in the column, so ``top_k``
+    returns the lowest-index in-radius columns first — the same order the
+    reference's brute-force scan keeps when the cap truncates
+    (``csrc/ops/cuda/radius_kernel.cu``).
+    """
+    mx = xb.shape[0]
+    my = yb.shape[0]
+    nblocks = -(-my // block)
+    pad = nblocks * block - my
+    ypad = jnp.pad(yb, ((0, pad), (0, 0)))
+
+    def one_block(i0):
+        yblk = jax.lax.dynamic_slice(ypad, (i0 * block, 0),
+                                     (block, yb.shape[1]))
+        d = _pairwise_sqdist(yblk, xb)
+        within = d <= r2
+        if diag_offset is not None:
+            qidx = i0 * block + jnp.arange(block)[:, None] + diag_offset
+            within &= qidx != jnp.arange(mx)[None, :]
+        key = jnp.where(within, mx - jnp.arange(mx, dtype=jnp.int32), -1)
+        vals, idx = jax.lax.top_k(key, kk)
+        return idx.astype(jnp.int32), vals > 0
+
+    idx, valid = jax.lax.map(one_block, jnp.arange(nblocks))
+    return (idx.reshape(nblocks * block, kk)[:my],
+            valid.reshape(nblocks * block, kk)[:my])
+
+
 def radius(x: Array, y: Array, r: float = 1.0,
            ptr_x: Optional[Array] = None, ptr_y: Optional[Array] = None,
            max_num_neighbors: int = 32, num_workers: int = 1,
            ignore_same_index: bool = False) -> Array:
     """All points of ``x`` within distance ``r`` of each ``y`` point, capped
     at ``max_num_neighbors`` (reference
-    ``pyg_lib/ops/__init__.py:1110-1146``)."""
+    ``pyg_lib/ops/__init__.py:1110-1146``). Device-vectorised: one jitted
+    blocked pass per batch, one host transfer of the capped ``[My, k]``
+    candidate table (round 1 iterated queries in Python)."""
     del num_workers
     hx = _host_ptr(ptr_x, x.shape[0])
     hy = _host_ptr(ptr_y, y.shape[0])
@@ -151,19 +197,20 @@ def radius(x: Array, y: Array, r: float = 1.0,
     for b in range(len(hx) - 1):
         xs, xe = int(hx[b]), int(hx[b + 1])
         ys, ye = int(hy[b]), int(hy[b + 1])
-        if ye - ys == 0 or xe - xs == 0:
+        mx, my = xe - xs, ye - ys
+        if my == 0 or mx == 0:
             continue
-        d = _pairwise_sqdist(y[ys:ye], x[xs:xe])
-        if ignore_same_index:
-            m = min(xe - xs, ye - ys)
-            diag = (jnp.arange(ye - ys)[:, None] + ys) == (
-                jnp.arange(xe - xs)[None, :] + xs)
-            d = jnp.where(diag, jnp.inf, d)
-        within = np.asarray(jax.device_get(d <= r * r))
-        for qi in range(within.shape[0]):
-            nbrs = np.nonzero(within[qi])[0][:max_num_neighbors]
-            rows.append(np.full(len(nbrs), qi + ys, dtype=np.int64))
-            cols.append(nbrs + xs)
+        kk = min(max_num_neighbors, mx)
+        # Keep the transient distance tile under ~64 MB.
+        block = max(1, min(my, (1 << 24) // max(mx, 1)))
+        diag = (ys - xs) if ignore_same_index else None
+        idx, valid = _radius_blocked(x[xs:xe], y[ys:ye], float(r * r), kk,
+                                     block, diag)
+        idx = np.asarray(jax.device_get(idx))
+        valid = np.asarray(jax.device_get(valid))
+        q, slot = np.nonzero(valid)
+        rows.append((q + ys).astype(np.int64))
+        cols.append((idx[q, slot] + xs).astype(np.int64))
     if not rows:
         return jnp.zeros((2, 0), jnp.int64)
     return jnp.asarray(np.stack([np.concatenate(rows),

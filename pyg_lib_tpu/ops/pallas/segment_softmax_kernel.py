@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from pyg_lib_tpu.ops.pallas.spmm_chunked import (PTR_SUB, TP, TR, SpmmPlan,
                                                  split_dot)
 
-__all__ = ['segment_softmax_planned', 'segment_max_planned']
+__all__ = ['segment_softmax_planned']
 
 NEG = -1e30  # finite -inf stand-in (0 * NEG stays finite in the matmuls)
 
@@ -201,46 +201,6 @@ def _softmax_padded(x_padded, chunk_tile, tile_ptr, num_rows: int,
         interpret=interpret,
     )(chunk_tile, tile_ptr, x_padded, rowmax, lsum)
     return out
-
-
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _rowmax_padded(x_padded, chunk_tile, tile_ptr, num_rows: int, chunk: int,
-                   interpret: bool = False):
-    e_pad, f = x_padded.shape
-    num_chunks = chunk_tile.shape[0]
-    r_pad = tile_ptr.shape[0] * TR
-    out = pl.pallas_call(
-        lambda ct, p, x, o: _rowmax_kernel(ct, p, x, o),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(num_chunks, ),
-            in_specs=[
-                pl.BlockSpec((1, PTR_SUB, TP), lambda c, ct: (ct[c], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunk, f), lambda c, ct: (c, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((TR, f), lambda c, ct: (ct[c], 0),
-                                   memory_space=pltpu.VMEM)),
-        out_shape=jax.ShapeDtypeStruct((r_pad, f), jnp.float32),
-        interpret=interpret,
-    )(chunk_tile, tile_ptr, x_padded)
-    return out[:num_rows]
-
-
-def segment_max_planned(x_padded: jax.Array, plan: SpmmPlan,
-                        interpret=None) -> jax.Array:
-    """Per-row maxima over the padded layout (empty rows yield 0).
-
-    Exactly pass 1 of the fused softmax kernel. The selection matmul
-    rounds values through bf16, so maxima carry ~3 significant decimal
-    digits — the documented precision of this fast path. Use
-    ``segment_max_csr`` for exact values + argindices.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
-    out = _rowmax_padded(x_padded, plan.chunk_tile, plan.tile_ptr,
-                         plan.num_rows, plan.chunk, interpret)
-    return jnp.where(out <= NEG / 2, 0.0, out)
 
 
 def segment_softmax_planned(x_padded: jax.Array, plan: SpmmPlan,

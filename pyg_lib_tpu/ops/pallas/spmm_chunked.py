@@ -66,6 +66,7 @@ class SpmmPlan(NamedTuple):
     col_padded: jax.Array  # [E_pad] int32 — col ids, pad slots point at 0
     chunk_tile: jax.Array  # [C] int32 — output tile of each chunk
     tile_ptr: jax.Array  # [T, PTR_SUB, TP] int32 — padded-coord rowptr/tile
+    tile_shift: jax.Array  # [T] int32 — padded_start - orig_start per tile
     num_rows: int
     num_edges: int
     chunk: int
@@ -82,7 +83,11 @@ class SpmmPlan(NamedTuple):
 
 
 def _build_padded_layout(rowptr: np.ndarray, chunk: int):
-    """Pad each TR-row tile's edge span to a multiple of ``chunk``."""
+    """Pad each TR-row tile's edge span to a multiple of ``chunk``.
+
+    Returns (orig, valid, chunk_tile, tile_ptr, shift); ``shift[t]`` maps
+    padded position -> original edge id (orig = padded_pos - shift).
+    """
     num_rows = rowptr.shape[0] - 1
     num_tiles = max(-(-num_rows // TR), 1)
     # Edge span of each tile in original coordinates.
@@ -113,7 +118,7 @@ def _build_padded_layout(rowptr: np.ndarray, chunk: int):
     tile_ptr = (rowptr[row_idx] + shift[:, None]).astype(np.int32)  # [T, TP]
     tile_ptr = np.broadcast_to(tile_ptr[:, None, :],
                                (num_tiles, PTR_SUB, TP)).copy()
-    return orig, valid, chunk_tile, tile_ptr
+    return orig, valid, chunk_tile, tile_ptr, shift
 
 
 def build_spmm_plan(rowptr, col, chunk: int = 512,
@@ -128,7 +133,8 @@ def build_spmm_plan(rowptr, col, chunk: int = 512,
     """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col)
-    orig, valid, chunk_tile, tile_ptr = _build_padded_layout(rowptr, chunk)
+    orig, valid, chunk_tile, tile_ptr, shift = _build_padded_layout(
+        rowptr, chunk)
     if len(col):
         col_padded = np.where(valid, col[np.minimum(orig, len(col) - 1)],
                               0).astype(np.int32)
@@ -155,6 +161,7 @@ def build_spmm_plan(rowptr, col, chunk: int = 512,
         col_padded=jnp.asarray(col_padded),
         chunk_tile=jnp.asarray(chunk_tile),
         tile_ptr=jnp.asarray(tile_ptr),
+        tile_shift=jnp.asarray(shift.astype(np.int32)),
         num_rows=int(rowptr.shape[0] - 1),
         num_edges=int(col.shape[0]),
         chunk=chunk,
@@ -256,16 +263,25 @@ def segment_sum_chunked(msgs_padded: jax.Array, plan: SpmmPlan,
 
 
 def spmm_plan_apply(x: jax.Array, plan: SpmmPlan,
-                    interpret: Optional[bool] = None) -> jax.Array:
+                    interpret: Optional[bool] = None,
+                    precision: Optional[str] = None) -> jax.Array:
     """``out[r] = Σ_{e in row r} x[col[e]]`` — gather + chunked reduce.
 
     The gather is XLA's row-gather (transaction-bound on TPU; measured
     ~11 ns/row at 512 B rows, saturating ~135 GB/s at 8 KB rows), the
     reduction is the chunked Pallas kernel above.
+
+    ``precision='bf16'`` streams the gathered message slab in bfloat16
+    while accumulating in float32 (the MXU-native matmul contract): the
+    materialised round-trip — the dominant real traffic, measured 19.4 of
+    29.6 GB at F=512 — halves, for ~8-bit-mantissa message precision.
+    The output dtype is unchanged (``x.dtype``).
     """
     if interpret is None:  # Mosaic on TPU, interpreter elsewhere (tests)
         interpret = jax.default_backend() != 'tpu'
-    msgs = jnp.take(x, plan.col_padded, axis=0)
+    xm = x.astype(jnp.bfloat16) if (precision == 'bf16'
+                                    and x.dtype != jnp.bfloat16) else x
+    msgs = jnp.take(xm, plan.col_padded, axis=0)
     if x.shape[1] > 2048:
         # Double-buffered (chunk, F) slabs would exceed VMEM; fall back
         # to the XLA sorted scatter for very wide features (needs the

@@ -140,9 +140,56 @@ def segment_mean_csr(src: Array, indptr: Array,
 # -- min / max ---------------------------------------------------------------
 
 
+_MINMAX_PLANNED_MIN_EDGES = 65536
+
+
+def _use_planned_minmax(src, indptr) -> bool:
+    import os
+
+    if os.environ.get('PYGT_DISABLE_PALLAS'):
+        return False
+    if jax.default_backend() != 'tpu':
+        return False
+    if src.ndim != 2 or src.dtype != jnp.float32 or src.shape[1] % 128:
+        return False
+    if isinstance(indptr, jax.core.Tracer):
+        return False  # plans need a concrete indptr
+    if src.shape[0] != int(jax.device_get(indptr[-1])):
+        return False  # trailing pad edges: keep the XLA path
+    return src.shape[0] >= _MINMAX_PLANNED_MIN_EDGES
+
+
+def _minmax_csr_planned(src, indptr, is_min):
+    """Exact values + first-winner argindex via the chunked Pallas kernel
+    (``pallas/segment_minmax_kernel.py``); reference contract preserved:
+    empty rows -> value 0, argindex sentinel = src.shape[0]."""
+    from pyg_lib_tpu.ops.pallas.plan_cache import plan_for_ptr
+    from pyg_lib_tpu.ops.pallas.segment_minmax_kernel import (
+        segment_max_planned_exact, )
+    from pyg_lib_tpu.ops.pallas.spmm_chunked import TR
+
+    n = src.shape[0]
+    plan = plan_for_ptr(indptr)
+    xp = jnp.take(src, plan.edge_perm, axis=0)  # pads masked by membership
+    if is_min:
+        xp = -xp
+    vals, pos = segment_max_planned_exact(xp, plan)
+    if is_min:
+        vals = -vals
+    empty = (_row_counts(indptr) == 0)[:, None]
+    # Padded position -> original edge id via the per-tile shift.
+    rows = jnp.arange(plan.num_rows, dtype=jnp.int32)
+    shift = jnp.take(plan.tile_shift, rows // TR)[:, None]
+    arg = jnp.where(empty, jnp.int32(n), pos - shift)
+    vals = jnp.where(empty, jnp.zeros_like(vals), vals)
+    return vals, arg
+
+
 def _minmax_csr_fwd_impl(src, indptr, is_min):
     num_rows = indptr.shape[0] - 1
     n = src.shape[0]
+    if _use_planned_minmax(src, indptr):
+        return _minmax_csr_planned(src, indptr, is_min)
     ids = _segment_ids(indptr, n)
     ident = min_identity(src.dtype) if is_min else max_identity(src.dtype)
     init = jnp.full((num_rows, ) + src.shape[1:], ident, dtype=src.dtype)

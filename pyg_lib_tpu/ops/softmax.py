@@ -78,30 +78,15 @@ _PLANNED_MIN_EDGES = 65536
 
 def _plan_for(ptr) -> 'object':
     ptr_np = np.asarray(ptr)
-    if isinstance(ptr, np.ndarray):
-        # Stable host buffer: identity key (validated against the stored
-        # copy below).
-        key = (ptr_np.ctypes.data, ptr_np.shape[0])
-    else:
-        # Device arrays/lists copy to a fresh host buffer on every
-        # np.asarray, so an address key would miss (or collide on
-        # allocator reuse) every call and rebuild the O(E) plan — key by
-        # content instead (same scheme as ops.spmm.spmm_csr).
-        import hashlib
+    from pyg_lib_tpu.ops.pallas.plan_cache import plan_for_ptr, plan_key
 
-        key = (hashlib.sha1(ptr_np.tobytes()).hexdigest(), ptr_np.shape[0])
+    key = plan_key(ptr, ptr_np)
     hit = _PLAN_CACHE.get(key)
     if hit is not None and np.array_equal(hit[1], ptr_np):
         return hit[0]
-    from pyg_lib_tpu.ops.pallas.spmm_chunked import build_spmm_plan
-
-    e = int(ptr_np[-1])
-    # The plan only needs the layout; col ids are unused by softmax. Built
-    # eagerly even when called during a jit trace (the plan arrays must be
-    # constants, not tracers, to be cacheable across traces).
-    with jax.ensure_compile_time_eval():
-        plan = build_spmm_plan(ptr_np, np.zeros(e, np.int32), chunk=512,
-                               with_edge_maps=True)
+    # The plan only needs the layout; col ids are unused by softmax. The
+    # shared cache dedups it with segment_{min,max}_csr's plan.
+    plan = plan_for_ptr(ptr)
     if len(_PLAN_CACHE) >= 8:
         _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
     # Cache the custom_vjp wrapper too, so repeated calls hit one trace;

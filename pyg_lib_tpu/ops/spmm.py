@@ -85,53 +85,62 @@ def build_spmm_graph(rowptr, col, chunk: int = 512,
     return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, ))
-def _spmm_sum(x, graph: SpmmGraph):
-    return spmm_plan_apply(x, graph.fwd)
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _spmm_sum(x, graph: SpmmGraph, precision: Optional[str] = None):
+    return spmm_plan_apply(x, graph.fwd, precision=precision)
 
 
-def _spmm_fwd(x, graph):
-    return spmm_plan_apply(x, graph.fwd), None
+def _spmm_fwd(x, graph, precision):
+    return spmm_plan_apply(x, graph.fwd, precision=precision), None
 
 
-def _spmm_bwd(graph, _, g):
-    return (spmm_plan_apply(g, graph.bwd), )
+def _spmm_bwd(graph, precision, _, g):
+    # d/dx (A @ x) = Aᵀ @ g over the transpose plan; gradient messages
+    # stream at the same precision as the forward.
+    return (spmm_plan_apply(g, graph.bwd, precision=precision), )
 
 
 _spmm_sum.defvjp(_spmm_fwd, _spmm_bwd)
 
 
-def spmm(x: jax.Array, graph: SpmmGraph, reduce: str = 'sum') -> jax.Array:
+def spmm(x: jax.Array, graph: SpmmGraph, reduce: str = 'sum',
+         precision: Optional[str] = None) -> jax.Array:
     """``out[r] = reduce_{e in row r} x[col[e]]`` with a prebuilt plan.
 
     The flagship aggregation primitive: equivalent to the reference
     composition ``segment_csr(x[col], rowptr, reduce=...)``
     (``pyg_lib/ops/__init__.py:816-835``) but gather-fused and planned.
-    ``reduce`` in {'sum', 'mean'}; min/max go through
-    :func:`pyg_lib_tpu.ops.segment_csr`.
 
     Close over ``graph`` in jitted functions (as the examples do) rather
     than passing it through the jit boundary as an argument: plans ride
     ``custom_vjp`` nondiff slots, which must stay concrete.
 
-    ``reduce`` in {'sum', 'add', 'mean', 'max', 'min'}; max/min need a
-    graph built ``with_edge_maps=True`` and return values only (see
-    :func:`segment_max_padded` for the precision/gradient contract).
+    ``reduce`` in {'sum', 'add', 'mean', 'max', 'min'}. max/min return
+    EXACT values with the reference's winner-only gradient (the single
+    winning source node per (row, feature) receives the cotangent —
+    reference ``csrc/ops/autograd/scatter_kernel.cpp:432-456``); any
+    plan works (edge maps not required).
+
+    ``precision=None`` (default) keeps exact float32 message semantics
+    (bf16 hi/lo split contraction); ``precision='bf16'`` streams messages
+    in bfloat16 with float32 accumulation — the MXU-native training
+    contract — halving the materialised-slab traffic. The step stays
+    gather-transaction-bound, so the measured gain is ~10% at F=512 on
+    v5e (49.7 vs 55 ms/iter on the 4.2M-edge bench graph) plus half the
+    slab memory. Applies to 'sum'/'add'/'mean' and their gradients.
     """
+    if precision not in (None, 'highest', 'bf16'):
+        raise ValueError(f"spmm precision must be None, 'highest' or "
+                         f"'bf16', got {precision!r}")
+    if precision == 'highest':
+        precision = None
     if reduce in ('max', 'min'):
-        plan = graph.fwd
-        if plan.row_padded is None:
-            raise ValueError(
-                "spmm reduce='max'/'min' needs "
-                'build_spmm_graph(with_edge_maps=True)')
-        msgs = jnp.take(x, plan.col_padded, axis=0)
-        fn = segment_max_padded if reduce == 'max' else segment_min_padded
-        return fn(msgs, plan).astype(x.dtype)
+        return _spmm_minmax(x, graph, reduce == 'min').astype(x.dtype)
     if reduce not in ('sum', 'add', 'mean'):
         raise ValueError(
             f"spmm reduce must be 'sum', 'add', 'mean', 'max' or 'min', "
             f"got {reduce!r}")
-    out = _spmm_sum(x, graph)
+    out = _spmm_sum(x, graph, precision)
     if reduce == 'mean':
         d = jnp.maximum(graph.deg, 1.0).astype(out.dtype)
         out = out / d[:, None]
@@ -224,34 +233,97 @@ def sddmm(x: jax.Array, y: jax.Array, graph: SpmmGraph) -> jax.Array:
     return jnp.take(scores, plan.edge_pos, axis=0)
 
 
+def _exact_rowmax(x_padded: jax.Array, plan: SpmmPlan):
+    """Exact per-row (max, winning padded slot); empty rows -> (0, -1)."""
+    from pyg_lib_tpu.ops.pallas.segment_minmax_kernel import (
+        segment_max_planned_exact, )
+
+    vals, pos = segment_max_planned_exact(x_padded.astype(jnp.float32),
+                                          plan)
+    return vals, pos
+
+
+def _rows_nonempty(plan: SpmmPlan):
+    # tile_ptr row t holds padded rowptr for rows [t*TR, (t+1)*TR); a row
+    # is non-empty iff ptr[r+1] > ptr[r].
+    bounds = plan.tile_ptr[:, 0, :]  # [T, TP]
+    from pyg_lib_tpu.ops.pallas.spmm_chunked import TR
+
+    lo = bounds[:, :TR].reshape(-1)[:plan.num_rows]
+    hi = bounds[:, 1:TR + 1].reshape(-1)[:plan.num_rows]
+    return hi > lo
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _spmm_minmax(x, graph: 'SpmmGraph', is_min: bool):
+    return _spmm_minmax_fwd(x, graph, is_min)[0]
+
+
+def _spmm_minmax_impl(x, graph, is_min):
+    plan = graph.fwd
+    msgs = jnp.take(x, plan.col_padded, axis=0)
+    vals, pos = _exact_rowmax(-msgs if is_min else msgs, plan)
+    if is_min:
+        vals = -vals
+    empty = (graph.deg < 0.5)[:, None]
+    vals = jnp.where(empty, 0.0, vals)
+    pos = jnp.where(empty, jnp.int32(-1), pos)
+    return vals, pos
+
+
+def _spmm_minmax_fwd(x, graph, is_min):
+    vals, pos = _spmm_minmax_impl(x, graph, is_min)
+    # Zero-width proto carries x's row count and dtype through the
+    # residuals (shapes/dtypes themselves are not valid JAX types).
+    return vals, (pos, jnp.zeros((x.shape[0], 0), x.dtype))
+
+
+def _spmm_minmax_bwd(graph, is_min, res, g):
+    # Winner-only gradient (reference contract,
+    # csrc/ops/autograd/scatter_kernel.cpp:432-456): route each row's
+    # cotangent to the single winning source node.
+    pos, proto = res
+    plan = graph.fwd
+    n_rows, f = pos.shape
+    safe = jnp.maximum(pos, 0)
+    col_win = jnp.where(pos < 0, jnp.int32(proto.shape[0]),
+                        jnp.take(plan.col_padded, safe))  # [N, F]
+    cols = jnp.broadcast_to(jnp.arange(f, dtype=jnp.int32)[None, :],
+                            (n_rows, f))
+    grad = jnp.zeros((proto.shape[0], f), g.dtype).at[col_win, cols].add(
+        g, mode='drop')
+    return (grad.astype(proto.dtype), )
+
+
+_spmm_minmax.defvjp(_spmm_minmax_fwd, _spmm_minmax_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(1, ))
 def segment_max_padded(x_padded: jax.Array, plan: SpmmPlan) -> jax.Array:
-    """Per-row max in padded coordinates (Pallas scan kernel; values only,
-    bf16-selection precision — see kernel docstring). Backward splits the
-    cotangent equally among tying maxima (a valid subgradient; the exact
-    reference semantics with argindices live in ``segment_max_csr``)."""
-    from pyg_lib_tpu.ops.pallas.segment_softmax_kernel import (
-        segment_max_planned, )
-
-    if plan.row_padded is None:
-        raise ValueError('segment_max_padded needs a plan built '
-                         'with_edge_maps=True')
-    return segment_max_planned(x_padded, plan)
+    """Per-row max in padded coordinates — EXACT values, winner-only
+    gradient (round 1 shipped a bf16-selection approximation with a
+    tie-splitting subgradient; the scan kernel now transports exact f32
+    bits, see ``pallas/segment_minmax_kernel.py``)."""
+    return _exact_rowmax(x_padded, plan)[0]
 
 
 def _smx_fwd(x_padded, plan):
-    out = segment_max_padded(x_padded, plan)
-    return out, (x_padded, out)
+    vals, pos = _exact_rowmax(x_padded, plan)
+    nonempty = _rows_nonempty(plan)
+    vals = jnp.where(nonempty[:, None], vals, 0.0)
+    return vals, (pos, nonempty, jnp.zeros((x_padded.shape[0], 0),
+                                           x_padded.dtype))
 
 
 def _smx_bwd(plan, res, g):
-    x_padded, out = res
-    winner = (x_padded.astype(jnp.bfloat16).astype(jnp.float32)
-              >= jnp.take(out, plan.row_padded, axis=0)).astype(g.dtype)
-    winner = winner * plan.valid_mask[:, None].astype(g.dtype)  # no pads
-    counts = segment_sum_padded(winner, plan)
-    share = g / jnp.maximum(counts, 1.0)
-    return (winner * jnp.take(share, plan.row_padded, axis=0), )
+    pos, nonempty, proto = res
+    n_rows, f = pos.shape
+    safe = jnp.where(nonempty[:, None], pos, jnp.int32(proto.shape[0]))
+    cols = jnp.broadcast_to(jnp.arange(f, dtype=jnp.int32)[None, :],
+                            (n_rows, f))
+    grad = jnp.zeros((proto.shape[0], f), g.dtype).at[safe, cols].add(
+        g, mode='drop')
+    return (grad.astype(proto.dtype), )
 
 
 segment_max_padded.defvjp(_smx_fwd, _smx_bwd)

@@ -558,3 +558,54 @@ def test_gcn_two_layer_activations_match():
 
 def jax_relu(x):
     return jnp.maximum(x, 0)
+
+
+@pytest.mark.parametrize('reduce', ['sum', 'mean', 'min', 'max'])
+def test_segment_coo_batched_2d_index(reduce):
+    # Reference supports leading batch dims with reduction axis
+    # index.dim()-1 (csrc/ops/cpu/segment_coo_kernel.cpp:40-51).
+    rng = np.random.default_rng(30)
+    b, e, k, n = 3, 20, 4, 7
+    idx = np.sort(rng.integers(0, n, size=(b, e)), axis=1)
+    src = rng.normal(size=(b, e, k))
+
+    ref = getattr(pyg, f'segment_{reduce}_coo')(_t(src), _t(idx), None, n)
+    mine = getattr(ops, f'segment_{reduce}_coo')(jnp.asarray(src),
+                                                 jnp.asarray(idx),
+                                                 dim_size=n)
+    if reduce in ('min', 'max'):
+        ref_val, ref_arg = ref
+        out, arg = mine
+        counts = np.zeros((b, n), bool)
+        for bi in range(b):
+            counts[bi, :] = np.bincount(idx[bi], minlength=n) > 0
+        mask = np.broadcast_to(counts[:, :, None], out.shape)
+        np.testing.assert_allclose(np.asarray(out)[mask],
+                                   _n(ref_val)[mask])
+        np.testing.assert_array_equal(np.asarray(arg), _n(ref_arg))
+    else:
+        np.testing.assert_allclose(np.asarray(mine), _n(ref), rtol=1e-6,
+                                   atol=1e-8)
+
+
+def test_segment_coo_batched_3d_trailing_and_out():
+    rng = np.random.default_rng(31)
+    b1, b2, e, n = 2, 3, 12, 5
+    idx = np.sort(rng.integers(0, n, size=(b1, b2, e)), axis=-1)
+    src = rng.normal(size=(b1, b2, e))
+    base = rng.normal(size=(b1, b2, n))
+    ref = _n(pyg.segment_sum_coo(_t(src), _t(idx), _t(base).clone(), None))
+    out = np.asarray(
+        ops.segment_sum_coo(jnp.asarray(src), jnp.asarray(idx),
+                            out=jnp.asarray(base)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-8)
+
+
+def test_gather_coo_batched():
+    rng = np.random.default_rng(32)
+    b, n, e, k = 3, 8, 15, 4
+    idx = np.sort(rng.integers(0, n, size=(b, e)), axis=1)
+    src = rng.normal(size=(b, n, k))
+    ref = _n(pyg.gather_coo(_t(src), _t(idx), None))
+    out = np.asarray(ops.gather_coo(jnp.asarray(src), jnp.asarray(idx)))
+    np.testing.assert_allclose(out, ref)

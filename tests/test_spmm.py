@@ -199,3 +199,31 @@ def test_spmm_reduce_max_min():
         if hi > lo:
             ref_min[r] = x[col[lo:hi]].min(0)
     np.testing.assert_allclose(out_min, ref_min, rtol=1.5e-2, atol=1.5e-2)
+
+
+def test_spmm_bf16_precision_mode():
+    # bf16 message streaming, f32 accumulation: values within bf16 message
+    # tolerance of the exact result; gradients flow through the same mode.
+    rng = np.random.default_rng(11)
+    n, f = 96, 64
+    deg = rng.integers(0, 7, size=n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=int(rowptr[-1]))
+    g = ops.build_spmm_graph(rowptr, col)
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+
+    exact = np.asarray(ops.spmm(x, g))
+    fast = np.asarray(ops.spmm(x, g, precision='bf16'))
+    assert fast.dtype == np.float32
+    scale = np.abs(exact).max()
+    assert np.abs(fast - exact).max() < 2e-2 * scale
+
+    ge = jax.grad(lambda x: (ops.spmm(x, g) ** 2).sum())(x)
+    gf = jax.grad(
+        lambda x: (ops.spmm(x, g, precision='bf16') ** 2).sum())(x)
+    assert np.abs(np.asarray(gf) - np.asarray(ge)).max() < 5e-2 * float(
+        jnp.abs(ge).max())
+
+    with pytest.raises(ValueError):
+        ops.spmm(x, g, precision='fp8')
