@@ -1,0 +1,96 @@
+"""Distributed sampling service + collective feature fetch.
+
+Protocol-step testing mirrors the reference strategy (pure functions, one
+process — ``test/csrc/sampler/test_dist_neighbor.cpp``); the device
+collective runs on the 8-virtual-device CPU mesh from conftest.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pyg_lib_tpu import sampler
+from pyg_lib_tpu.parallel import make_mesh
+from pyg_lib_tpu.sampler.dist_service import (
+    DistNeighborSampler,
+    collective_feature_fetch,
+    partition_graph,
+)
+
+
+def _random_csr(rng, n, max_deg):
+    deg = rng.integers(0, max_deg + 1, size=n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=int(rowptr[-1]))
+    return rowptr, col.astype(np.int64)
+
+
+def test_partition_book_owner_roundtrip():
+    rng = np.random.default_rng(0)
+    rowptr, col = _random_csr(rng, 100, 5)
+    g = partition_graph(rowptr, col, 4)
+    ids = rng.integers(0, 100, size=50)
+    owner = g.book.owner(ids)
+    for v, p in zip(ids, owner):
+        assert g.book.bounds[p] <= v < g.book.bounds[p + 1]
+    # partition CSRs tile the global CSR exactly
+    recon_col = np.concatenate(g.col_parts)
+    np.testing.assert_array_equal(recon_col, col)
+
+
+def test_dist_sampler_full_fanout_matches_local_sampler():
+    """With full fanout the protocol must enumerate exactly what the
+    single-machine sampler enumerates (same relabel contract)."""
+    rng = np.random.default_rng(1)
+    rowptr, col = _random_csr(rng, 60, 4)
+    g = partition_graph(rowptr, col, 3)
+    seeds = np.array([5, 41, 17], np.int64)
+
+    ds = DistNeighborSampler(g, rng=7)
+    row, col_out, node_id, nph = ds.sample(seeds, [-1, -1])
+
+    ref = sampler.neighbor_sample(rowptr, col, seeds, [-1, -1], rng=7)
+    np.testing.assert_array_equal(row, np.asarray(ref[0]))
+    np.testing.assert_array_equal(col_out, np.asarray(ref[1]))
+    np.testing.assert_array_equal(node_id, np.asarray(ref[2]))
+    # Per-hop counts follow the DIST contract (duplicates kept — the
+    # reference protocol returns nodes with duplicates and dedups only at
+    # relabel), so they bound the local sampler's unique-node counts.
+    assert nph[0] == list(ref[4])[0]
+    assert all(a >= b for a, b in zip(nph, list(ref[4])))
+
+
+def test_dist_sampler_finite_fanout_structure():
+    rng = np.random.default_rng(2)
+    rowptr, col = _random_csr(rng, 200, 8)
+    g = partition_graph(rowptr, col, 4)
+    seeds = np.array([0, 100, 150], np.int64)
+    row, col_out, node_id, nph = DistNeighborSampler(g, rng=3).sample(
+        seeds, [3, 2])
+    assert nph[0] == 3
+    assert len(row) == len(col_out)
+    # every edge references valid local ids; every local id maps to a
+    # real global node whose adjacency contains the edge target
+    assert (np.asarray(col_out) < len(node_id)).all()
+    for r, c in zip(row, col_out):
+        src_g = node_id[r]
+        dst_g = node_id[c]
+        nbrs = col[rowptr[src_g]:rowptr[src_g + 1]]
+        assert dst_g in nbrs
+
+
+def test_collective_feature_fetch_8dev():
+    n_dev = 8
+    if len(jax.devices()) < n_dev:
+        pytest.skip('needs 8 virtual devices')
+    mesh = make_mesh((n_dev, ), ('data', ), devices=jax.devices()[:n_dev])
+    rng = np.random.default_rng(4)
+    n, f = 64, 16  # 8 rows per device
+    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n, size=24).astype(np.int32))
+    out = collective_feature_fetch(mesh, x, ids, axis='data')
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(x)[np.asarray(ids)], rtol=1e-6)
