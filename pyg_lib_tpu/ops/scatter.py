@@ -126,17 +126,53 @@ def scatter_mul(
     dim_size = infer_dim_size(index, dim_size)
     flat, idx, moved_shape, elementwise = _flatten_for_scatter(
         src, index, dim)
-    one = jnp.ones((dim_size, flat.shape[1]), dtype=src.dtype)
+    cols = None
     if elementwise:
         cols = jnp.broadcast_to(
             jnp.arange(flat.shape[1], dtype=idx.dtype)[None, :], idx.shape)
-        result = one.at[idx, cols].mul(flat, mode='drop')
-    else:
-        result = one.at[idx].mul(flat, mode='drop')
+    result = _scatter_mul_flat(flat, idx, cols, dim_size)
     result = _unflatten(result, moved_shape, dim, dim_size)
     if out is not None:
         result = out * result
     return result
+
+
+def _scatter_mul_flat(flat, idx, cols, dim_size: int):
+    """Product scatter with the reference gradient.
+
+    JAX's native ``.at[].mul`` autodiff rejects duplicate indices, so the
+    backward is the reference's closed form ``(grad * out).gather(index)
+    / src`` (``csrc/ops/autograd/scatter_kernel.cpp`` ScatterMul) —
+    ``out / src[i]`` is the product of the *other* bucket members.
+    Zero entries get gradient 0 (the true derivative is the others'
+    product, unrecoverable from out/src there; the reference emits
+    inf/nan instead).
+    """
+
+    @jax.custom_vjp
+    def f(flat):
+        one = jnp.ones((dim_size, flat.shape[1]), dtype=flat.dtype)
+        if cols is None:
+            return one.at[idx].mul(flat, mode='drop')
+        return one.at[idx, cols].mul(flat, mode='drop')
+
+    def fwd(flat):
+        res = f(flat)
+        return res, (flat, res)
+
+    def bwd(saved, g):
+        flat, res = saved
+        num = g * res
+        if cols is None:
+            gathered = jnp.take(num, idx, axis=0, mode='fill',
+                                fill_value=0)
+        else:
+            gathered = num.at[idx, cols].get(mode='fill', fill_value=0)
+        return (jnp.where(flat == 0, jnp.zeros_like(flat),
+                          gathered / jnp.where(flat == 0, 1, flat)), )
+
+    f.defvjp(fwd, bwd)
+    return f(flat)
 
 
 def scatter_mean(
