@@ -9,10 +9,11 @@ dropped by the segment ops).  Message passing is
 decomposition (SURVEY.md §3.3).
 """
 
-from typing import Dict, List
+from typing import Dict, List, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pyg_lib_tpu.ops import (
     scatter_softmax,
@@ -379,3 +380,105 @@ def init_rgcn_spmm(key, dims: List[int], num_relations: int) -> Dict:
             'b': jnp.zeros((dims[i + 1], )),
         })
     return {'layers': layers}
+
+
+class HeteroSpmmPlan(NamedTuple):
+    """Fused hetero aggregation schedule (host-built, one-time).
+
+    Relations targeting one dst type merge into ONE stacked plan: per dst
+    node, its edges across all relations concatenate (relation-major),
+    and cols offset into a virtual stack of per-relation source features.
+    A layer then needs exactly one grouped GEMM (``segment_matmul`` /
+    ragged_dot over the relation segments) plus one chunked reduce per
+    dst type — versus one dense dot + one spmm PER RELATION in
+    :func:`rgcn_forward_spmm`. The per-relation mean normalisation
+    (R-GCN, 1/|N_r(v)|) rides along as a per-edge scale in padded
+    coordinates (SURVEY.md §7 hard part 2: relation sizes vary 100x on
+    ogbn-mag, which ragged_dot absorbs without padding waste).
+    """
+    graphs: Dict  # dst type -> SpmmGraph (stacked, with_edge_maps=True)
+    deginv: Dict  # dst type -> [E_pad] f32 per-edge 1/deg_r(dst)
+    rel_order: tuple  # relations in stack order
+    src_ptr: 'np.ndarray'  # [R+1] row offsets of x_cat segments
+    num_nodes: Dict  # node type -> count
+
+
+def build_rgcn_planned(rowptr_dict, col_dict, num_nodes_dict,
+                       chunk: int = 512) -> HeteroSpmmPlan:
+    """Stack per-relation CSRs into one plan per dst type (host-side)."""
+    from pyg_lib_tpu.ops import build_spmm_graph
+
+    rel_order = tuple(sorted(rowptr_dict))
+    src_ptr = np.zeros(len(rel_order) + 1, np.int64)
+    for i, k in enumerate(rel_order):
+        src_ptr[i + 1] = src_ptr[i] + num_nodes_dict[k[0]]
+
+    graphs, deginv = {}, {}
+    for dst_t in sorted({k[2] for k in rel_order}):
+        ks = [(i, k) for i, k in enumerate(rel_order) if k[2] == dst_t]
+        n_dst = num_nodes_dict[dst_t]
+        # Relation-major edge concat per dst node, vectorised: concatenate
+        # per-relation (row, col+offset, 1/deg) triples in relation order
+        # and stable-sort by row — stability keeps the relation-major
+        # within-row order without any per-node Python loop.
+        rows_all, cols_all, dinv_all = [], [], []
+        for ri, k in ks:
+            rp = np.asarray(rowptr_dict[k], dtype=np.int64)
+            cl = np.asarray(col_dict[k], dtype=np.int64)
+            deg_r = np.diff(rp)
+            rows_all.append(np.repeat(np.arange(n_dst, dtype=np.int64),
+                                      deg_r))
+            cols_all.append(cl + src_ptr[ri])
+            with np.errstate(divide='ignore'):
+                per_row = np.where(deg_r > 0, 1.0 / deg_r, 0.0)
+            dinv_all.append(np.repeat(per_row, deg_r).astype(np.float32))
+        rows_cat = np.concatenate(rows_all)
+        order = np.argsort(rows_cat, kind='stable')
+        col = np.concatenate(cols_all)[order]
+        dinv = np.concatenate(dinv_all)[order]
+        rowptr = np.zeros(n_dst + 1, np.int64)
+        np.cumsum(np.bincount(rows_cat, minlength=n_dst), out=rowptr[1:])
+        g = build_spmm_graph(rowptr, col, chunk=chunk,
+                             with_edge_maps=True,
+                             num_cols=int(src_ptr[-1]))
+        graphs[dst_t] = g
+        dp = np.zeros(g.fwd.col_padded.shape[0], np.float32)
+        dp[np.asarray(g.fwd.edge_pos)] = dinv
+        deginv[dst_t] = jnp.asarray(dp)
+    return HeteroSpmmPlan(graphs=graphs, deginv=deginv,
+                          rel_order=rel_order, src_ptr=src_ptr,
+                          num_nodes=dict(num_nodes_dict))
+
+
+def rgcn_forward_planned(params: Dict, x_dict: Dict,
+                         hplan: HeteroSpmmPlan) -> Dict:
+    """R-GCN layer stack over the fused hetero plan.
+
+    Numerically identical to :func:`rgcn_forward_spmm` (same params:
+    ``init_rgcn_spmm`` with relations in ``sorted`` order): per layer,
+    one ``segment_matmul`` transforms the stacked per-relation sources,
+    then each dst type runs ONE weighted chunked reduce over all its
+    relations at once.
+    """
+    from pyg_lib_tpu.ops import segment_matmul, segment_sum_padded
+
+    rels = hplan.rel_order
+    ptr = jnp.asarray(hplan.src_ptr)
+    for i, layer in enumerate(params['layers']):
+        out = {
+            t: jnp.dot(h, layer['w_self'],
+                       preferred_element_type=h.dtype) + layer['b']
+            for t, h in x_dict.items()
+        }
+        x_cat = jnp.concatenate([x_dict[k[0]] for k in rels], axis=0)
+        h_cat = segment_matmul(x_cat, ptr, layer['w'])
+        for dst_t, g in hplan.graphs.items():
+            plan = g.fwd
+            msgs = jnp.take(h_cat, plan.col_padded, axis=0)
+            msgs = msgs * hplan.deginv[dst_t][:, None].astype(msgs.dtype)
+            agg = segment_sum_padded(msgs, plan).astype(h_cat.dtype)
+            out[dst_t] = out[dst_t] + agg[:out[dst_t].shape[0]]
+        x_dict = out
+        if i < len(params['layers']) - 1:
+            x_dict = {t: jax.nn.relu(v) for t, v in x_dict.items()}
+    return x_dict

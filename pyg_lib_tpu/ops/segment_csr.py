@@ -159,37 +159,75 @@ def _use_planned_minmax(src, indptr) -> bool:
     return src.shape[0] >= _MINMAX_PLANNED_MIN_EDGES
 
 
-def _minmax_csr_planned(src, indptr, is_min):
-    """Exact values + first-winner argindex via the chunked Pallas kernel
-    (``pallas/segment_minmax_kernel.py``); reference contract preserved:
-    empty rows -> value 0, argindex sentinel = src.shape[0]."""
-    from pyg_lib_tpu.ops.pallas.plan_cache import plan_for_ptr
+# Per-(plan, is_min) custom_vjp closures: the plan must ride the closure,
+# not the custom_vjp arguments — wrapped args become tracers even when
+# the caller passed concrete numpy (which silently disabled this path
+# until the wrapper-level dispatch below was added).
+_PLANNED_MINMAX_CACHE: dict = {}
+
+
+def _planned_minmax(indptr, is_min):
+    import numpy as np
+
+    from pyg_lib_tpu.ops.pallas.plan_cache import plan_for_ptr, plan_key
+
+    ptr_np = np.asarray(indptr)
+    key = (plan_key(indptr, ptr_np), is_min)
+    hit = _PLANNED_MINMAX_CACHE.get(key)
+    if hit is not None and np.array_equal(hit[1], ptr_np):
+        return hit[0]
+    plan = plan_for_ptr(indptr)
+    empty_np = (np.diff(ptr_np) == 0)[:, None]
+
     from pyg_lib_tpu.ops.pallas.segment_minmax_kernel import (
         segment_max_planned_exact, )
     from pyg_lib_tpu.ops.pallas.spmm_chunked import TR
 
-    n = src.shape[0]
-    plan = plan_for_ptr(indptr)
-    xp = jnp.take(src, plan.edge_perm, axis=0)  # pads masked by membership
-    if is_min:
-        xp = -xp
-    vals, pos = segment_max_planned_exact(xp, plan)
-    if is_min:
-        vals = -vals
-    empty = (_row_counts(indptr) == 0)[:, None]
-    # Padded position -> original edge id via the per-tile shift.
-    rows = jnp.arange(plan.num_rows, dtype=jnp.int32)
-    shift = jnp.take(plan.tile_shift, rows // TR)[:, None]
-    arg = jnp.where(empty, jnp.int32(n), pos - shift)
-    vals = jnp.where(empty, jnp.zeros_like(vals), vals)
-    return vals, arg
+    def fwd_impl(src):
+        n = src.shape[0]
+        xp = jnp.take(src, plan.edge_perm, axis=0)  # pads masked in-kernel
+        if is_min:
+            xp = -xp
+        vals, pos = segment_max_planned_exact(xp, plan)
+        if is_min:
+            vals = -vals
+        empty = jnp.asarray(empty_np)
+        rows = jnp.arange(plan.num_rows, dtype=jnp.int32)
+        shift = jnp.take(plan.tile_shift, rows // TR)[:, None]
+        arg = jnp.where(empty, jnp.int32(n), pos - shift)
+        vals = jnp.where(empty, jnp.zeros_like(vals), vals)
+        return vals, arg
+
+    @jax.custom_vjp
+    def f(src):
+        return fwd_impl(src)
+
+    def f_fwd(src):
+        vals, arg = fwd_impl(src)
+        return (vals, arg), (arg, jnp.zeros((src.shape[0], 0), src.dtype))
+
+    def f_bwd(res, cot):
+        arg, proto = res
+        g, _ = cot
+        n = proto.shape[0]
+        f_dim = g.shape[1]
+        cols = jnp.broadcast_to(
+            jnp.arange(f_dim, dtype=jnp.int32)[None, :], arg.shape)
+        grad = jnp.zeros((n, f_dim), g.dtype).at[arg, cols].add(
+            g, mode='drop')  # sentinel n drops
+        return (grad.astype(proto.dtype), )
+
+    f.defvjp(f_fwd, f_bwd)
+    if key not in _PLANNED_MINMAX_CACHE and len(
+            _PLANNED_MINMAX_CACHE) >= 16:
+        _PLANNED_MINMAX_CACHE.pop(next(iter(_PLANNED_MINMAX_CACHE)))
+    _PLANNED_MINMAX_CACHE[key] = (f, ptr_np.copy())
+    return f
 
 
 def _minmax_csr_fwd_impl(src, indptr, is_min):
     num_rows = indptr.shape[0] - 1
     n = src.shape[0]
-    if _use_planned_minmax(src, indptr):
-        return _minmax_csr_planned(src, indptr, is_min)
     ids = _segment_ids(indptr, n)
     ident = min_identity(src.dtype) if is_min else max_identity(src.dtype)
     init = jnp.full((num_rows, ) + src.shape[1:], ident, dtype=src.dtype)
@@ -240,7 +278,10 @@ def segment_min_csr(src: Array, indptr: Array,
     """Parity: reference ``segment_min_csr``
     (``pyg_lib/ops/__init__.py:679-700``)."""
     _check_indptr(indptr)
-    vals, arg = _segment_minmax_csr(src, indptr, True, src.shape[0])
+    if _use_planned_minmax(src, indptr):
+        vals, arg = _planned_minmax(indptr, True)(src)
+    else:
+        vals, arg = _segment_minmax_csr(src, indptr, True, src.shape[0])
     if out is not None:
         nonempty = (_row_counts(indptr) > 0).reshape((-1, ) + (1, ) *
                                                      (src.ndim - 1))
@@ -253,7 +294,10 @@ def segment_max_csr(src: Array, indptr: Array,
     """Parity: reference ``segment_max_csr``
     (``pyg_lib/ops/__init__.py:703-724``)."""
     _check_indptr(indptr)
-    vals, arg = _segment_minmax_csr(src, indptr, False, src.shape[0])
+    if _use_planned_minmax(src, indptr):
+        vals, arg = _planned_minmax(indptr, False)(src)
+    else:
+        vals, arg = _segment_minmax_csr(src, indptr, False, src.shape[0])
     if out is not None:
         nonempty = (_row_counts(indptr) > 0).reshape((-1, ) + (1, ) *
                                                      (src.ndim - 1))
