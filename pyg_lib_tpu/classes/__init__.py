@@ -11,8 +11,8 @@ import numpy as np
 
 from pyg_lib_tpu.sampler import hetero_neighbor_sample, neighbor_sample
 
-__all__ = ['HashMap', 'NeighborSampler', 'HeteroNeighborSampler',
-           'MetapathTracker']
+__all__ = ['HashMap', 'DeviceHashMap', 'NeighborSampler',
+           'HeteroNeighborSampler', 'MetapathTracker']
 
 
 class HashMap:
@@ -55,6 +55,60 @@ class HashMap:
 
     def __getstate__(self):
         return {'keys': self._keys}
+
+    def __setstate__(self, state):
+        self.__init__(state['keys'])
+
+
+class DeviceHashMap:
+    """Device-resident key -> index map usable INSIDE jitted programs.
+
+    Counterpart of the reference ``CUDAHashMap``
+    (``csrc/classes/cuda/hash_map.cu:33-110``): on-device id -> local
+    index lookup for feature fetch without a host round-trip. TPU-native
+    design: a sorted key table + vectorised binary search
+    (``jnp.searchsorted`` lowers to a compare network that streams the
+    table) instead of open addressing — no device-side pointers, fully
+    static shapes, differentiating consumers can ``jnp.take`` off the
+    returned indices. ``get`` accepts tracers (call it under ``jit``) and
+    returns -1 for absent keys, matching the reference's sentinel.
+    Picklable via ``keys()`` like the reference.
+    """
+
+    def __init__(self, keys):
+        import jax.numpy as jnp
+
+        keys_np = np.asarray(keys)
+        if keys_np.ndim != 1:
+            raise ValueError('DeviceHashMap keys must be 1-D')
+        order = np.argsort(keys_np, kind='stable')
+        sorted_np = keys_np[order]
+        if len(sorted_np) > 1 and (sorted_np[1:] == sorted_np[:-1]).any():
+            raise ValueError('DeviceHashMap keys must be unique')
+        self._keys_np = keys_np
+        self._sorted = jnp.asarray(sorted_np)
+        self._order = jnp.asarray(order.astype(np.int64))
+
+    def get(self, queries):
+        """Index of each query in ``keys`` (-1 if absent); jit-safe."""
+        import jax.numpy as jnp
+
+        q = jnp.asarray(queries)
+        if len(self._keys_np) == 0:
+            return jnp.full(q.shape, -1, jnp.int64)
+        pos = jnp.searchsorted(self._sorted, q)
+        pos = jnp.minimum(pos, self._sorted.shape[0] - 1)
+        found = self._sorted[pos] == q
+        return jnp.where(found, self._order[pos], -1)
+
+    def keys(self) -> np.ndarray:
+        return self._keys_np
+
+    def __len__(self):
+        return len(self._keys_np)
+
+    def __getstate__(self):
+        return {'keys': self._keys_np}
 
     def __setstate__(self, state):
         self.__init__(state['keys'])

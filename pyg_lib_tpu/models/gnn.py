@@ -442,8 +442,14 @@ def build_rgcn_planned(rowptr_dict, col_dict, num_nodes_dict,
                              with_edge_maps=True,
                              num_cols=int(src_ptr[-1]))
         graphs[dst_t] = g
-        dp = np.zeros(g.fwd.col_padded.shape[0], np.float32)
-        dp[np.asarray(g.fwd.edge_pos)] = dinv
+        # Padded-space 1/deg from the HOST layout: reading plan.edge_pos
+        # back from the device runs at tunnel speed (measured ~2 min for
+        # 12 MB on axon) — recompute the slot map on host instead.
+        from pyg_lib_tpu.ops.pallas.spmm_chunked import _build_padded_layout
+        orig, valid, _, _, _ = _build_padded_layout(rowptr, chunk)
+        dp = np.where(valid,
+                      dinv[np.minimum(orig, max(len(dinv) - 1, 0))],
+                      0.0).astype(np.float32)
         deginv[dst_t] = jnp.asarray(dp)
     return HeteroSpmmPlan(graphs=graphs, deginv=deginv,
                           rel_order=rel_order, src_ptr=src_ptr,

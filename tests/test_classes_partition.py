@@ -7,6 +7,8 @@ intent, with independent checks.
 
 import pickle
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -107,3 +109,41 @@ def test_hetero_relabel_neighborhood():
     np.testing.assert_array_equal(out_row[k], [0, 0, 1, 1])
     # b mapper seeded with node 7 (local 0); 5 -> 1, 7 -> 0, 9 -> 2
     np.testing.assert_array_equal(out_col[k], [1, 0, 0, 2])
+
+
+def test_device_hashmap_inside_jit():
+    from pyg_lib_tpu.classes import DeviceHashMap
+
+    rng = np.random.default_rng(0)
+    keys = rng.choice(10_000, size=500, replace=False)
+    m = DeviceHashMap(keys)
+
+    queries = np.concatenate([keys[:100], np.array([10_001, 10_002])])
+
+    @jax.jit
+    def lookup(q):
+        return m.get(q)
+
+    out = np.asarray(lookup(jnp.asarray(queries)))
+    np.testing.assert_array_equal(keys[out[:100]], queries[:100])
+    assert (out[100:] == -1).all()
+
+    # feature-fetch composition inside one jitted program
+    x = jnp.asarray(rng.normal(size=(500, 8)).astype(np.float32))
+
+    @jax.jit
+    def fetch(q):
+        idx = m.get(q)
+        safe = jnp.maximum(idx, 0)
+        return jnp.where((idx >= 0)[:, None], jnp.take(x, safe, axis=0),
+                         0.0)
+
+    feats = np.asarray(fetch(jnp.asarray(queries)))
+    np.testing.assert_allclose(feats[:100], np.asarray(x)[out[:100]])
+    assert (feats[100:] == 0).all()
+
+    # picklable like the reference CPUHashMap
+    import pickle
+    m2 = pickle.loads(pickle.dumps(m))
+    np.testing.assert_array_equal(np.asarray(m2.get(jnp.asarray(keys[:5]))),
+                                  np.asarray(m.get(jnp.asarray(keys[:5]))))
