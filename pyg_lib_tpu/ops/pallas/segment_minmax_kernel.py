@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from pyg_lib_tpu.ops.pallas.spmm_chunked import (PTR_SUB, TP, TR, SpmmPlan,
                                                  split_dot)
 
-__all__ = ['segment_max_planned_exact']
+__all__ = ['segment_max_planned_exact',
+           'segment_max_sum_planned_exact']
 
 NEG = -3e38  # below every finite f32; still finite so compares are clean
 
@@ -52,7 +53,10 @@ def _extract16(sel, chan):
     return split_dot(sel, chan, dims)  # [TR, F] f32, exact
 
 
-def _minmax_kernel(chunk_tile, ptr_ref, x_ref, val_ref, pos_ref):
+def _minmax_kernel(chunk_tile, ptr_ref, x_ref, val_ref, pos_ref,
+                   sum_ref=None):
+    """(max, argpos) per row; with ``sum_ref`` also the row sums in the
+    SAME slab pass (fused multi-reduce — one HBM read serves both)."""
     c = pl.program_id(0)
     chunk = x_ref.shape[0]
     f = x_ref.shape[1]
@@ -122,10 +126,17 @@ def _minmax_kernel(chunk_tile, ptr_ref, x_ref, val_ref, pos_ref):
     new_val = jnp.where(present, new_val, NEG)
     new_pos = (p_hi.astype(jnp.int32) << 16) | p_lo.astype(jnp.int32)
 
+    if sum_ref is not None:
+        member_b = member.astype(jnp.bfloat16)
+        data = jnp.where(in_row, x_ref[:].astype(jnp.float32), 0.0)
+        contrib = split_dot(member_b, data, dims)
+
     @pl.when(is_first)
     def _():
         val_ref[:] = new_val
         pos_ref[:] = new_pos
+        if sum_ref is not None:
+            sum_ref[:] = contrib
 
     @pl.when(jnp.logical_not(is_first))
     def _():
@@ -136,16 +147,23 @@ def _minmax_kernel(chunk_tile, ptr_ref, x_ref, val_ref, pos_ref):
         take = new_val > old_val
         val_ref[:] = jnp.where(take, new_val, old_val)
         pos_ref[:] = jnp.where(take, new_pos, old_pos)
+        if sum_ref is not None:
+            sum_ref[:] = sum_ref[:] + contrib
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _minmax_padded(x_padded, chunk_tile, tile_ptr, num_rows: int, chunk: int,
-                   interpret: bool = False):
+                   interpret: bool = False, with_sum: bool = False):
     e_pad, f = x_padded.shape
     num_chunks = chunk_tile.shape[0]
     num_tiles = tile_ptr.shape[0]
     r_pad = num_tiles * TR
 
+    def out_block():
+        return pl.BlockSpec((TR, f), lambda c, ct: (ct[c], 0),
+                            memory_space=pltpu.VMEM)
+
+    n_out = 3 if with_sum else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_chunks, ),
@@ -155,29 +173,28 @@ def _minmax_padded(x_padded, chunk_tile, tile_ptr, num_rows: int, chunk: int,
             pl.BlockSpec((chunk, f), lambda c, ct: (c, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((TR, f), lambda c, ct: (ct[c], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, f), lambda c, ct: (ct[c], 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[out_block() for _ in range(n_out)],
     )
 
-    val, pos = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((r_pad, f), jnp.float32),
+        jax.ShapeDtypeStruct((r_pad, f), jnp.int32),
+    ]
+    if with_sum:
+        out_shape.append(jax.ShapeDtypeStruct((r_pad, f), jnp.float32))
+
+    outs = pl.pallas_call(
         _minmax_kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((r_pad, f), jnp.float32),
-            jax.ShapeDtypeStruct((r_pad, f), jnp.int32),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=10 * e_pad * TR * f,
-            bytes_accessed=e_pad * f * 4 + 2 * r_pad * f * 4,
+            flops=(14 if with_sum else 10) * e_pad * TR * f,
+            bytes_accessed=e_pad * f * 4 + n_out * r_pad * f * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(chunk_tile, tile_ptr, x_padded)
-    return val[:num_rows], pos[:num_rows]
+    return tuple(o[:num_rows] for o in outs)
 
 
 def segment_max_planned_exact(x_padded: jax.Array, plan: SpmmPlan,
@@ -192,5 +209,19 @@ def segment_max_planned_exact(x_padded: jax.Array, plan: SpmmPlan,
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
+    val, pos = _minmax_padded(x_padded, plan.chunk_tile, plan.tile_ptr,
+                              plan.num_rows, plan.chunk, interpret)
+    return val, pos
+
+
+def segment_max_sum_planned_exact(x_padded: jax.Array, plan: SpmmPlan,
+                                  interpret=None):
+    """One slab pass emitting (max values, argpos, sums) per row — the
+    fused multi-reduce (reference Triton ``fused_scatter_reduce`` role,
+    ``pyg_lib/ops/scatter_reduce.py:15-181``): the HBM read is shared by
+    the order statistic and the sum instead of one pass per reduction."""
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
     return _minmax_padded(x_padded, plan.chunk_tile, plan.tile_ptr,
-                          plan.num_rows, plan.chunk, interpret)
+                          plan.num_rows, plan.chunk, interpret,
+                          with_sum=True)

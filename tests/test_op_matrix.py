@@ -153,3 +153,31 @@ def test_csc_mode_swaps_row_col():
                                 csc=True)
     np.testing.assert_array_equal(a[0], b[1])
     np.testing.assert_array_equal(a[1], b[0])
+
+
+def test_fused_scatter_reduce_planned_path_matches_composite():
+    """The fused Pallas path (one slab pass for sum+max, negated pass for
+    min) must match the composite path exactly, gradients included."""
+    import pyg_lib_tpu.ops.scatter_reduce as srm
+
+    rng = np.random.default_rng(0)
+    n_rows, f, dim_size = 600, 128, 40
+    idx = np.sort(rng.integers(0, dim_size, size=n_rows))
+    x = jnp.asarray(rng.normal(size=(n_rows, f)).astype(np.float32))
+
+    for reduces in (['sum', 'max'], ['mean', 'min'],
+                    ['sum', 'mean', 'min', 'max']):
+        fused = srm._fused(idx, dim_size, tuple(reduces))
+        out = np.asarray(fused(x))
+        ref = np.asarray(
+            srm.fused_scatter_reduce(x, jnp.asarray(idx), dim_size,
+                                     reduces))
+        # sums ride the bf16 hi/lo split contraction (~1e-5 absolute at
+        # unit scale); min/max are bit-exact
+        np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+        g1 = jax.grad(lambda a: (fused(a) ** 2).sum())(x)
+        g2 = jax.grad(lambda a: (srm.fused_scatter_reduce(
+            a, jnp.asarray(idx), dim_size, reduces) ** 2).sum())(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-4)
