@@ -6,6 +6,7 @@
 // per-seed sequential walk under at::parallel_for). OpenMP parallel with
 // counter-based RNG so walks are reproducible under any thread count.
 
+#include <algorithm>
 #include <cstring>
 #include <omp.h>
 #include <vector>
@@ -93,6 +94,61 @@ void pygt_random_walk(const int64_t* rowptr, const int64_t* col,
       const int64_t lo = rowptr[cur], hi = rowptr[cur + 1];
       if (hi > lo) cur = col[lo + (int64_t)rng.bounded((uint64_t)(hi - lo))];
       walk[s] = cur;
+    }
+  }
+}
+
+// node2vec second-order walks via rejection sampling (Grover &
+// Leskovec 2016, §3.2): candidate neighbors of the current node are
+// drawn uniformly and accepted with probability w / w_max where w is
+// 1/p (return to previous), 1 (common neighbor of previous), or 1/q
+// (distance-2). BEYOND the reference, which rejects p != 1 || q != 1
+// (reference csrc/sampler/cpu/random_walk_kernel.cpp:19-20). ``col``
+// must be sorted within each row (the Python wrapper sorts once) so the
+// distance-1 test is a binary search. Deterministic per (rng_seed, i).
+void pygt_random_walk_pq(const int64_t* rowptr, const int64_t* col,
+                         const int64_t* seed, int64_t n_seed,
+                         int64_t walk_length, double p, double q,
+                         uint64_t rng_seed, int64_t* out) {
+  const double wp = 1.0 / p, wq = 1.0 / q;
+  const double w_max = std::max(1.0, std::max(wp, wq));
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n_seed; ++i) {
+    SplitMix64 rng = site_rng(rng_seed, 1, 0, (uint64_t)i,
+                              (uint64_t)seed[i]);
+    int64_t* walk = out + i * (walk_length + 1);
+    int64_t cur = seed[i], prev = -1;
+    walk[0] = cur;
+    for (int64_t s = 1; s <= walk_length; ++s) {
+      const int64_t lo = rowptr[cur], hi = rowptr[cur + 1];
+      if (hi <= lo) {  // dead end: repeat (reference contract)
+        walk[s] = cur;
+        prev = cur;
+        continue;
+      }
+      int64_t nxt = cur;
+      if (prev < 0) {
+        nxt = col[lo + (int64_t)rng.bounded((uint64_t)(hi - lo))];
+      } else {
+        const int64_t plo = rowptr[prev], phi = rowptr[prev + 1];
+        for (int attempt = 0; attempt < 64; ++attempt) {
+          const int64_t cand =
+              col[lo + (int64_t)rng.bounded((uint64_t)(hi - lo))];
+          double w;
+          if (cand == prev) {
+            w = wp;
+          } else if (std::binary_search(col + plo, col + phi, cand)) {
+            w = 1.0;
+          } else {
+            w = wq;
+          }
+          nxt = cand;  // fallback if every draw rejects
+          if (rng.uniform() * w_max <= w) break;
+        }
+      }
+      walk[s] = nxt;
+      prev = cur;
+      cur = nxt;
     }
   }
 }

@@ -245,6 +245,76 @@ def subgraph(
     return out_rowptr, out_col, out_eid
 
 
+def _sorted_rows(rowptr: np.ndarray, col: np.ndarray) -> np.ndarray:
+    """Row-sorted copy of ``col`` (binary-searchable neighborhoods)."""
+    out = col.copy()
+    for v in range(len(rowptr) - 1):  # O(E log d); cached by callers
+        lo, hi = rowptr[v], rowptr[v + 1]
+        if hi - lo > 1:
+            out[lo:hi] = np.sort(out[lo:hi])
+    return out
+
+
+_SORTED_COL_CACHE: dict = {}
+
+
+def _random_walk_pq(rowptr, col, seed, walk_length, p, q, rng, impl):
+    import hashlib
+
+    key = (hashlib.sha1(np.ascontiguousarray(rowptr).tobytes()).hexdigest(),
+           hashlib.sha1(np.ascontiguousarray(col).tobytes()).hexdigest())
+    hit = _SORTED_COL_CACHE.get(key)
+    if hit is None:
+        hit = _sorted_rows(np.asarray(rowptr, np.int64),
+                           np.asarray(col, np.int64))
+        if len(_SORTED_COL_CACHE) >= 4:
+            _SORTED_COL_CACHE.pop(next(iter(_SORTED_COL_CACHE)))
+        _SORTED_COL_CACHE[key] = hit
+    col_sorted = hit
+    if impl != 'numpy' and not isinstance(rng, np.random.Generator):
+        from pyg_lib_tpu.sampler import _cpp
+        if _cpp.get_lib() is not None:
+            return _cpp.random_walk_pq_cpp(rowptr, col_sorted, seed,
+                                           walk_length, p, q,
+                                           _cpp.rng_seed_from(rng))
+    # numpy specification: same rejection-sampling algorithm.
+    gen = _rng(rng)
+    w_p, w_q = 1.0 / p, 1.0 / q
+    w_max = max(1.0, w_p, w_q)
+    out = np.empty((len(seed), walk_length + 1), np.int64)
+    for i, s0 in enumerate(np.asarray(seed, np.int64)):
+        cur, prev = int(s0), -1
+        out[i, 0] = cur
+        for s in range(1, walk_length + 1):
+            lo, hi = rowptr[cur], rowptr[cur + 1]
+            if hi <= lo:
+                out[i, s] = cur
+                prev = cur
+                continue
+            if prev < 0:
+                nxt = int(col_sorted[lo + gen.integers(hi - lo)])
+            else:
+                plo, phi = rowptr[prev], rowptr[prev + 1]
+                nbrs_prev = col_sorted[plo:phi]
+                nxt = None
+                for _ in range(64):
+                    cand = int(col_sorted[lo + gen.integers(hi - lo)])
+                    if cand == prev:
+                        w = w_p
+                    elif np.searchsorted(nbrs_prev, cand) < len(
+                            nbrs_prev) and nbrs_prev[np.searchsorted(
+                                nbrs_prev, cand)] == cand:
+                        w = 1.0
+                    else:
+                        w = w_q
+                    nxt = cand
+                    if gen.uniform() * w_max <= w:
+                        break
+            out[i, s] = nxt
+            prev, cur = cur, nxt
+    return out
+
+
 def random_walk(
     rowptr,
     col,
@@ -255,17 +325,21 @@ def random_walk(
     rng: Union[None, int, np.random.Generator] = None,
     impl: str = 'auto',
 ) -> np.ndarray:
-    """Uniform random walks of length ``walk_length`` from each seed.
+    """Random walks of length ``walk_length`` from each seed.
 
     Parity: reference ``pyg_lib.sampler.random_walk``
     (``pyg_lib/sampler/__init__.py:228-254``; CPU kernel
-    ``csrc/sampler/cpu/random_walk_kernel.cpp:12-51``).  Like the
-    reference, only ``p = q = 1`` is supported; a dead-end node repeats
-    itself for the rest of the walk.
+    ``csrc/sampler/cpu/random_walk_kernel.cpp:12-51``) — and BEYOND it:
+    the reference rejects ``p != 1 or q != 1``
+    (``random_walk_kernel.cpp:19-20``); here full node2vec second-order
+    walks (Grover & Leskovec 2016) run via rejection sampling (accept a
+    uniform neighbor with probability w/w_max, w in {1/p, 1, 1/q}).
+    A dead-end node repeats itself for the rest of the walk.
     """
-    if p != 1.0 or q != 1.0:
-        raise ValueError('Only p=1, q=1 supported')
     rowptr, col, seed = _np(rowptr), _np(col), _np(seed)
+    if p != 1.0 or q != 1.0:
+        return _random_walk_pq(rowptr, col, seed, walk_length, p, q, rng,
+                               impl)
     if impl != 'numpy' and not isinstance(rng, np.random.Generator):
         from pyg_lib_tpu.sampler import _cpp
         if _cpp.get_lib() is not None:

@@ -499,6 +499,10 @@ def _register_graph_ops(lib):
     lib.pygt_subgraph_free.argtypes = [ctypes.c_void_p]
     lib.pygt_random_walk.argtypes = [i64p, i64p, i64p, ctypes.c_int64,
                                      ctypes.c_int64, ctypes.c_uint64, i64p]
+    lib.pygt_random_walk_pq.argtypes = [i64p, i64p, i64p, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_double,
+                                        ctypes.c_double, ctypes.c_uint64,
+                                        i64p]
     lib._graph_ops_registered = True
 
 
@@ -536,4 +540,20 @@ def random_walk_cpp(rowptr, col, seed, walk_length, rng_seed=0):
     out = np.empty((len(seed), walk_length + 1), np.int64)
     lib.pygt_random_walk(_ptr(rowptr), _ptr(col), _ptr(seed), len(seed),
                          walk_length, rng_seed & (2**64 - 1), _ptr(out))
+    return out
+
+
+def random_walk_pq_cpp(rowptr, col_sorted, seed, walk_length, p, q,
+                       rng_seed=0):
+    """node2vec walks; ``col_sorted`` must be row-sorted (see wrapper)."""
+    lib = get_lib()
+    assert lib is not None
+    _register_graph_ops(lib)
+    rowptr = np.ascontiguousarray(rowptr, np.int64)
+    col_sorted = np.ascontiguousarray(col_sorted, np.int64)
+    seed = np.ascontiguousarray(seed, np.int64)
+    out = np.empty((len(seed), walk_length + 1), np.int64)
+    lib.pygt_random_walk_pq(_ptr(rowptr), _ptr(col_sorted), _ptr(seed),
+                            len(seed), walk_length, float(p), float(q),
+                            rng_seed & (2**64 - 1), _ptr(out))
     return out

@@ -375,3 +375,43 @@ def test_cpp_mapper_rare_path_distinct_high_ids():
         rowptr_d, col_d, {'u': np.array([big, big + (1 << 40), big])},
         {('u', 'r', 'v'): [1]}, rng=0, impl='cpp')
     assert out[2]['u'].tolist() == [big, big + (1 << 40)]  # deduped, distinct
+
+
+def test_random_walk_pq_node2vec():
+    """Full node2vec p/q walks (beyond the reference, which enforces
+    p=q=1): structural validity, determinism, and the defining bias —
+    low p backtracks far more often than high p."""
+    rng = np.random.default_rng(0)
+    n = 200
+    deg = rng.integers(2, 6, size=n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=int(rowptr[-1])).astype(np.int64)
+    seeds = rng.integers(0, n, size=64)
+
+    for impl in ('cpp', 'numpy'):
+        out = sampler.random_walk(rowptr, col, seeds, 10, p=0.25, q=2.0,
+                                  rng=7, impl=impl)
+        assert out.shape == (64, 11)
+        # every step follows a real edge (or repeats on dead ends)
+        for i in range(64):
+            for s in range(10):
+                u, v = out[i, s], out[i, s + 1]
+                nbrs = col[rowptr[u]:rowptr[u + 1]]
+                assert v in nbrs or (len(nbrs) == 0 and v == u)
+
+    # determinism (C++ counter RNG)
+    a = sampler.random_walk(rowptr, col, seeds, 10, p=0.25, q=2.0, rng=7,
+                            impl='cpp')
+    b = sampler.random_walk(rowptr, col, seeds, 10, p=0.25, q=2.0, rng=7,
+                            impl='cpp')
+    np.testing.assert_array_equal(a, b)
+
+    def backtrack_rate(p):
+        walks = sampler.random_walk(rowptr, col,
+                                    rng.integers(0, n, size=512), 20, p=p,
+                                    q=1.0, rng=3, impl='cpp')
+        back = (walks[:, 2:] == walks[:, :-2]).mean()
+        return back
+
+    assert backtrack_rate(0.05) > backtrack_rate(20.0) + 0.1
