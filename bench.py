@@ -170,18 +170,24 @@ def main():
     def remaining():
         return budget - (time.time() - start)
 
-    # Attempt 1: headline config. Cold compile through the axon tunnel is
-    # 130-230 s; warm (persistent cache) is ~30 s.
-    rec = _run_child('headline', timeout=min(300, remaining() - 150))
+    # Phase 1: secure ANY fresh measurement first. The XLA fallback
+    # compiles in well under 2 min even cold, so a number is in hand
+    # before the expensive attempt (round-1 failure mode: all budget
+    # spent on one cold compile, nothing recorded).
+    rec = _run_child('fallback', timeout=min(210, remaining() - 60))
 
-    if rec is None and remaining() > 220:
-        # The child hung (wedged chip / stuck compile). Its death triggers
-        # the remote watchdog; give the chip time to clear, then fall back
-        # to the fast-compiling XLA config.
-        time.sleep(100)
-        rec = _run_child('fallback', timeout=remaining() - 10)
-    elif rec is None:
-        rec = _run_child('fallback', timeout=max(remaining() - 10, 60))
+    # Phase 2: the headline config with everything left. Cold compile
+    # through the axon tunnel can take 2-10 min; warm (persistent cache,
+    # .jax_cache committed workflows / prior local runs) is ~60 s.
+    if remaining() > 90:
+        head = _run_child('headline', timeout=remaining() - 20)
+        if head is None and rec is None and remaining() > 150:
+            # Possible wedged chip: the killed child triggers the remote
+            # watchdog; wait for the reset and retry the cheap config.
+            time.sleep(100)
+            rec = _run_child('fallback', timeout=remaining() - 10)
+        if head is not None:
+            rec = head
 
     if rec is not None:
         print(json.dumps(rec), flush=True)

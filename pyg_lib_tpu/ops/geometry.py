@@ -115,6 +115,8 @@ def knn(x: Array, y: Array, k: int = 1,
     distance matmul — the TPU plan from SURVEY.md §2.3.
     """
     del num_workers
+    if k < 1:
+        raise ValueError(f'knn needs k >= 1, got {k}')
     hx = _host_ptr(ptr_x, x.shape[0])
     hy = _host_ptr(ptr_y, y.shape[0])
     if len(hx) != len(hy):
@@ -191,6 +193,9 @@ def radius(x: Array, y: Array, r: float = 1.0,
     blocked pass per batch, one host transfer of the capped ``[My, k]``
     candidate table (round 1 iterated queries in Python)."""
     del num_workers
+    if r < 0:
+        raise ValueError(f'radius must be non-negative, got {r} '
+                         '(r*r would silently match everything)')
     hx = _host_ptr(ptr_x, x.shape[0])
     hy = _host_ptr(ptr_y, y.shape[0])
     rows, cols = [], []

@@ -48,6 +48,15 @@ def _check_indptr(indptr: Array):
     if indptr.ndim != 1:
         raise NotImplementedError(
             'batched indptr: vmap segment_*_csr over leading axes')
+    # Concrete indptrs are validated (a non-monotonic indptr silently
+    # produces garbage segments — reference TORCH_CHECK role); tracers
+    # cannot be inspected without a device sync and pass through.
+    if not isinstance(indptr, jax.core.Tracer):
+        import numpy as np
+
+        ip = np.asarray(indptr)
+        if len(ip) and (np.diff(ip) < 0).any():
+            raise ValueError('indptr must be non-decreasing')
 
 
 def _segment_ids(indptr: Array, num_elements: int) -> Array:

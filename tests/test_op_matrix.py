@@ -181,3 +181,19 @@ def test_fused_scatter_reduce_planned_path_matches_composite():
             a, jnp.asarray(idx), dim_size, reduces) ** 2).sum())(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_argument_validation_walls():
+    """Reference TORCH_CHECK role: malformed args raise informative
+    errors instead of silently computing garbage."""
+    src = jnp.ones((10, 4))
+    with pytest.raises(ValueError, match='non-decreasing'):
+        ops.segment_sum_csr(src, jnp.array([0, 7, 3, 10]))
+    with pytest.raises(ValueError, match='k >= 1'):
+        ops.knn(jnp.ones((5, 2)), jnp.ones((3, 2)), k=0)
+    with pytest.raises(ValueError, match='non-negative'):
+        ops.radius(jnp.ones((5, 2)), jnp.ones((3, 2)), r=-1.0)
+    with pytest.raises(ValueError):
+        ops.scatter_sum(src, jnp.arange(10), dim=5, dim_size=5)
+    with pytest.raises(ValueError):
+        ops.fused_scatter_reduce(src, jnp.arange(10), 5, ['sum', 'bogus'])

@@ -609,3 +609,45 @@ def test_gather_coo_batched():
     ref = _n(pyg.gather_coo(_t(src), _t(idx), None))
     out = np.asarray(ops.gather_coo(jnp.asarray(src), jnp.asarray(idx)))
     np.testing.assert_allclose(out, ref)
+
+
+def test_sage_two_layer_activations_match():
+    """GraphSAGE layer composed the way PyG composes it (mean aggregate
+    via segment_mean_csr + two dense transforms), float64 exact."""
+    rng = np.random.default_rng(22)
+    n, e, f0, f1 = 30, 120, 6, 10
+    rowptr, col = _csr(rng, n, n, e)
+    x = rng.normal(size=(n, f0))
+    ws = rng.normal(size=(f0, f1))
+    wn = rng.normal(size=(f0, f1))
+
+    xt = _t(x)
+    agg = pyg.segment_mean_csr(xt[_t(col)], _t(rowptr), None)
+    ref = torch.relu(xt @ _t(ws) + agg @ _t(wn)).numpy()
+
+    xj = jnp.asarray(x)
+    aggj = ops.segment_mean_csr(jnp.take(xj, jnp.asarray(col), axis=0),
+                                jnp.asarray(rowptr))
+    out = np.asarray(
+        jnp.maximum(xj @ jnp.asarray(ws) + aggj @ jnp.asarray(wn), 0))
+    np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-10)
+
+
+def test_attention_layer_softmax_csr_composition_matches():
+    """GAT-style attention: per-row softmax_csr over edge scores then
+    weighted segment sum — both engines' fused softmax must agree."""
+    rng = np.random.default_rng(23)
+    n, e, f = 25, 100, 8
+    rowptr, col = _csr(rng, n, n, e)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    scores = rng.normal(size=(e, 1)).astype(np.float32)
+
+    alpha_ref = pyg.softmax_csr(_t(scores), _t(rowptr), 0)
+    msgs_ref = _t(x)[_t(col)] * alpha_ref
+    out_ref = _n(pyg.segment_sum_csr(msgs_ref, _t(rowptr), None))
+
+    alpha = ops.softmax_csr(jnp.asarray(scores), jnp.asarray(rowptr),
+                            dim=0)
+    msgs = jnp.take(jnp.asarray(x), jnp.asarray(col), axis=0) * alpha
+    out = np.asarray(ops.segment_sum_csr(msgs, jnp.asarray(rowptr)))
+    np.testing.assert_allclose(out, out_ref, rtol=1e-4, atol=1e-5)
