@@ -122,7 +122,8 @@ def _build_padded_layout(rowptr: np.ndarray, chunk: int):
 
 
 def build_spmm_plan(rowptr, col, chunk: int = 512,
-                    with_edge_maps: bool = False) -> SpmmPlan:
+                    with_edge_maps: bool = False,
+                    pad_to_chunks: int = None) -> SpmmPlan:
     """Build the chunked schedule for ``out[r] = Σ x[col[e]]`` over CSR rows.
 
     One-time host preprocessing per graph (analogous to the reference
@@ -157,6 +158,25 @@ def build_spmm_plan(rowptr, col, chunk: int = 512,
             rp = np.zeros(orig.shape[0], np.int32)
         row_padded = jnp.asarray(rp)
         valid_mask = jnp.asarray(valid)
+    if pad_to_chunks is not None and pad_to_chunks > chunk_tile.shape[0]:
+        extra = pad_to_chunks - chunk_tile.shape[0]
+        last_tile = chunk_tile[-1] if len(chunk_tile) else 0
+        chunk_tile = np.concatenate(
+            [chunk_tile,
+             np.full(extra, last_tile, np.int32)])
+        col_padded = np.concatenate(
+            [col_padded, np.zeros(extra * chunk, np.int32)])
+        if with_edge_maps:
+            pad1 = np.zeros(extra * chunk, np.int32)
+            edge_perm = jnp.asarray(
+                np.concatenate([np.asarray(jax.device_get(edge_perm)),
+                                pad1]))
+            row_padded = jnp.asarray(
+                np.concatenate([np.asarray(jax.device_get(row_padded)),
+                                pad1]))
+            valid_mask = jnp.asarray(
+                np.concatenate([np.asarray(jax.device_get(valid_mask)),
+                                np.zeros(extra * chunk, bool)]))
     return SpmmPlan(
         col_padded=jnp.asarray(col_padded),
         chunk_tile=jnp.asarray(chunk_tile),

@@ -402,14 +402,27 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
         num_cols = num_rows
 
     def split_plans(rp, cl, n_rows):
-        bounds = np.linspace(0, n_rows, num_splits + 1).astype(np.int64)
-        plans = []
+        # Uniform split shapes (equal row count, padded equal chunk
+        # count): every split shares ONE compiled kernel instead of
+        # compiling per split (16+ compiles at 31M edges before this).
+        npd = -(-n_rows // num_splits)
+        subs = []
         for i in range(num_splits):
-            lo, hi = int(bounds[i]), int(bounds[i + 1])
-            sub_rp = rp[lo:hi + 1] - rp[lo]
-            sub_cl = cl[rp[lo]:rp[hi]]
-            plans.append(build_spmm_plan(sub_rp, sub_cl, chunk=chunk))
-        return tuple(plans)
+            lo, hi = i * npd, min((i + 1) * npd, n_rows)
+            sub_rp = np.empty(npd + 1, np.int64)
+            sub_rp[:hi - lo + 1] = rp[lo:hi + 1] - rp[lo]
+            sub_rp[hi - lo + 1:] = sub_rp[hi - lo]  # trailing empty rows
+            subs.append((sub_rp, cl[rp[lo]:rp[hi]]))
+        from pyg_lib_tpu.ops.pallas.spmm_chunked import TR
+        def n_chunks(sub_rp):
+            tb = np.minimum(np.arange(npd // TR + (npd % TR > 0) + 1) * TR,
+                            npd)
+            counts = sub_rp[tb[1:]] - sub_rp[tb[:-1]]
+            return int(np.maximum(-(-counts // chunk), 1).sum())
+        cmax = max(n_chunks(s_rp) for s_rp, _ in subs)
+        return tuple(
+            build_spmm_plan(s_rp, s_cl, chunk=chunk, pad_to_chunks=cmax)
+            for s_rp, s_cl in subs)
 
     fwd = split_plans(rowptr, col, num_rows)
     t_ptr, t_col = _transpose_csr(rowptr, col, num_cols)
@@ -420,21 +433,23 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
                             num_cols=num_cols)
 
 
-def _sharded_apply(x, plans):
+def _sharded_apply(x, plans, num_rows=None):
     outs = []
     for p in plans:
         outs.append(spmm_plan_apply(x, p))
-    return jnp.concatenate(outs, axis=0)
+    out = jnp.concatenate(outs, axis=0)
+    # Uniform splits pad the last split with empty rows; trim.
+    return out if num_rows is None else out[:num_rows]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, ))
 def _spmm_sharded_sum(x, graph: ShardedSpmmGraph):
-    return _sharded_apply(x, graph.fwd)
+    return _sharded_apply(x, graph.fwd, graph.num_rows)
 
 
 _spmm_sharded_sum.defvjp(
-    lambda x, graph: (_sharded_apply(x, graph.fwd), None),
-    lambda graph, _, g: (_sharded_apply(g, graph.bwd), ))
+    lambda x, graph: (_sharded_apply(x, graph.fwd, graph.num_rows), None),
+    lambda graph, _, g: (_sharded_apply(g, graph.bwd, graph.num_cols), ))
 
 
 def spmm_sharded(x: jax.Array, graph: ShardedSpmmGraph,

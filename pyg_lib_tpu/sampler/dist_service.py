@@ -17,7 +17,7 @@ pure functions, so the coordinator loop runs all partitions in-process
 collective runs on a virtual CPU mesh (``tests/conftest.py``).
 """
 
-from typing import List, NamedTuple, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -30,6 +30,8 @@ from pyg_lib_tpu.sampler.dist import (
 __all__ = [
     'PartitionBook', 'DistGraph', 'partition_graph',
     'DistNeighborSampler', 'collective_feature_fetch',
+    'HeteroDistGraph', 'partition_hetero_graph',
+    'HeteroDistNeighborSampler',
 ]
 
 
@@ -191,3 +193,133 @@ def collective_feature_fetch(mesh, x_sharded, ids, axis: str = 'data'):
 
     return shard_map(local, mesh=mesh, in_specs=(P(axis), P()),
                      out_specs=P())(x_sharded, ids)
+
+
+class HeteroDistGraph(NamedTuple):
+    """Per-node-type partition books + per-(edge type, partition) CSR
+    slices: partition ``p`` owns each type's node range and the OUT-edges
+    (toward any type) of its owned rows, global col ids — the hetero
+    analog of :class:`DistGraph` (reference orchestration lives in PyG's
+    ``torch_geometric.distributed`` hetero path; the kernels are the same
+    dist triple)."""
+    books: Dict  # node type -> PartitionBook
+    rowptr_parts: Dict  # (edge type, p) -> local rowptr
+    col_parts: Dict  # (edge type, p) -> global cols
+    num_nodes: Dict  # node type -> count
+    edge_types: Tuple
+
+
+def partition_hetero_graph(rowptr_dict, col_dict, num_nodes_dict,
+                           num_partitions: int) -> HeteroDistGraph:
+    """Range-partition every node type; slice each edge type's dst-major
+    CSR by its dst type's ranges."""
+    books = {}
+    for t, n in num_nodes_dict.items():
+        books[t] = PartitionBook(
+            bounds=np.linspace(0, n, num_partitions + 1).astype(np.int64))
+    rowptr_parts, col_parts = {}, {}
+    for k, rowptr in rowptr_dict.items():
+        rowptr = np.asarray(rowptr, np.int64)
+        col = np.asarray(col_dict[k], np.int64)
+        bounds = books[k[0]].bounds  # src-major CSR (library convention)
+        for p in range(num_partitions):
+            lo, hi = int(bounds[p]), int(bounds[p + 1])
+            rowptr_parts[(k, p)] = rowptr[lo:hi + 1] - rowptr[lo]
+            col_parts[(k, p)] = col[rowptr[lo]:rowptr[hi]]
+    return HeteroDistGraph(books=books, rowptr_parts=rowptr_parts,
+                           col_parts=col_parts,
+                           num_nodes=dict(num_nodes_dict),
+                           edge_types=tuple(sorted(rowptr_dict)))
+
+
+class HeteroDistNeighborSampler:
+    """Hetero coordinator: per hop and edge type, the frontier of the
+    edge type's OWNING type is grouped by partition, each partition
+    samples one hop over its slice (:func:`dist_neighbor_sample` — the
+    RPC seam), outputs merge back into frontier order, and one
+    :func:`pyg_lib_tpu.sampler.dist.hetero_relabel_neighborhood` call at
+    the end produces per-type local ids exactly like the single-machine
+    hetero sampler."""
+
+    def __init__(self, graph: HeteroDistGraph, rng: int = 0,
+                 replace: bool = False, impl: str = 'auto'):
+        self.graph = graph
+        self.rng = rng
+        self.replace = replace
+        self.impl = impl
+        self._step = 0
+
+    def sample(self, seed_dict, num_neighbors_dict):
+        from pyg_lib_tpu.sampler.dist import hetero_relabel_neighborhood
+
+        g = self.graph
+        node_types = sorted(g.num_nodes)
+        edge_types = list(g.edge_types)
+        num_layers = max(len(v) for v in num_neighbors_dict.values())
+
+        frontier = {t: np.asarray(seed_dict.get(t, np.zeros(0, np.int64)),
+                                  np.int64) for t in node_types}
+        streams = {t: [] for t in node_types}  # sampled w/ dupes per type
+        counts_dict = {k: [] for k in edge_types}
+
+        for ell in range(num_layers):
+            new_frontier = {t: [] for t in node_types}
+            for k in edge_types:
+                # src-major CSRs (library convention): expanding an edge
+                # type walks from its SRC-type frontier to DST neighbors.
+                own_t, nbr_t = k[0], k[2]
+                fanouts = num_neighbors_dict.get(k, [])
+                fanout = fanouts[ell] if ell < len(fanouts) else 0
+                fr = frontier[own_t]
+                owner = g.books[own_t].owner(fr) if len(fr) else np.zeros(
+                    0, np.int64)
+                nodes_p, eids_p, cum_p = [], [], []
+                orders = np.zeros(len(fr), np.int64)
+                for p in range(g.books[own_t].num_partitions):
+                    mask = owner == p
+                    orders[mask] = np.arange(int(mask.sum()))
+                    if not mask.any():
+                        nodes_p.append(np.zeros(0, np.int64))
+                        eids_p.append(np.zeros(0, np.int64))
+                        cum_p.append(np.zeros(1, np.int64))
+                        continue
+                    lo = int(g.books[own_t].bounds[p])
+                    rng_seed = (self.rng * 1_000_003 +
+                                self._step * 101 + ell * 7919 +
+                                hash(k) % 1000 + p)
+                    nodes, eids, cumsum = dist_neighbor_sample(
+                        g.rowptr_parts[(k, p)], g.col_parts[(k, p)],
+                        fr[mask] - lo, fanout, replace=self.replace,
+                        rng=rng_seed, impl=self.impl)
+                    nodes = nodes.copy()
+                    nodes[:int(mask.sum())] += lo  # re-globalise seeds
+                    nodes_p.append(nodes)
+                    eids_p.append(eids)
+                    cum_p.append(cumsum)
+                merged, _, _, counts = merge_sampler_outputs(
+                    nodes_p, eids_p, cum_p, owner, orders,
+                    g.books[own_t].num_partitions, fanout)
+                counts_dict[k].append(counts)
+                streams[nbr_t].append(merged)
+                new_frontier[nbr_t].append(merged)
+            frontier = {
+                t: (np.concatenate(v) if v else np.zeros(0, np.int64))
+                for t, v in new_frontier.items()
+            }
+
+        sampled = {t: (np.concatenate(v) if v else np.zeros(0, np.int64))
+                   for t, v in streams.items()}
+        seed_d = {t: np.asarray(seed_dict.get(t, np.zeros(0, np.int64)))
+                  for t in node_types}
+        row_d, col_d = hetero_relabel_neighborhood(
+            node_types, edge_types, seed_d, sampled,
+            {k: counts_dict[k] for k in edge_types}, dict(g.num_nodes))
+        node_id = {}
+        for t in node_types:
+            seen = {}
+            for v in np.concatenate([seed_d[t], sampled[t]]):
+                if int(v) not in seen:
+                    seen[int(v)] = len(seen)
+            node_id[t] = np.fromiter(seen.keys(), np.int64, len(seen))
+        self._step += 1
+        return row_d, col_d, node_id

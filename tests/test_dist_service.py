@@ -94,3 +94,38 @@ def test_collective_feature_fetch_8dev():
     out = collective_feature_fetch(mesh, x, ids, axis='data')
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(x)[np.asarray(ids)], rtol=1e-6)
+
+
+def test_hetero_dist_sampler_full_fanout_matches_local():
+    """Hetero protocol loop: with full fanout, per-edge-type (row, col)
+    and per-type node_id must match the single-machine hetero sampler
+    exactly (same mapper order via hetero_relabel_neighborhood)."""
+    from pyg_lib_tpu.sampler.dist_service import (
+        HeteroDistNeighborSampler,
+        partition_hetero_graph,
+    )
+
+    rng = np.random.default_rng(5)
+    num_nodes = {'u': 40, 'v': 30}
+    rels = [('u', 'r1', 'v'), ('v', 'r2', 'u')]
+    rowptr_d, col_d = {}, {}
+    for (s, r, d) in rels:  # src-major CSRs (library convention)
+        deg = rng.integers(0, 4, size=num_nodes[s])
+        rp = np.zeros(num_nodes[s] + 1, np.int64)
+        rp[1:] = np.cumsum(deg)
+        rowptr_d[(s, r, d)] = rp
+        col_d[(s, r, d)] = rng.integers(0, num_nodes[d], size=int(rp[-1]))
+
+    seeds = {'v': np.array([3, 17], np.int64)}
+    nn = {k: [-1, -1] for k in rels}
+
+    hg = partition_hetero_graph(rowptr_d, col_d, num_nodes, 3)
+    row_d, col_out_d, node_id = HeteroDistNeighborSampler(hg, rng=2).sample(
+        seeds, nn)
+
+    ref = sampler.hetero_neighbor_sample(rowptr_d, col_d, seeds, nn)
+    for k in rels:
+        np.testing.assert_array_equal(row_d[k], np.asarray(ref[0][k]))
+        np.testing.assert_array_equal(col_out_d[k], np.asarray(ref[1][k]))
+    for t in num_nodes:
+        np.testing.assert_array_equal(node_id[t], np.asarray(ref[2][t]))
