@@ -24,7 +24,8 @@ import numpy as np
 from pyg_lib_tpu import sampler
 from pyg_lib_tpu.sampler.padding import budget_for, pad_sample_output
 
-__all__ = ['NeighborLoader', 'HeteroNeighborLoader']
+__all__ = ['NeighborLoader', 'HeteroNeighborLoader',
+           'DistNeighborLoader']
 
 
 class NeighborLoader:
@@ -240,3 +241,54 @@ class HeteroNeighborLoader:
 
     # Reuse NeighborLoader's pipelined iteration verbatim.
     __iter__ = NeighborLoader.__iter__
+
+
+class DistNeighborLoader(NeighborLoader):
+    """:class:`NeighborLoader` over a PARTITIONED graph: every batch runs
+    the distributed protocol (sample -> merge -> relabel through
+    :class:`pyg_lib_tpu.sampler.dist_service.DistNeighborSampler`)
+    instead of the local sampler — same padded-batch contract and the
+    same async double-buffered host->device pipeline, so a training loop
+    is oblivious to which sampler produced its batches (the multi-host
+    story of SURVEY.md §3.5 behind the single-host loader interface).
+
+    Batch ``i`` of epoch ``e`` uses an independent coordinator seeded
+    with its stream id, so batches are reproducible regardless of worker
+    scheduling.
+    """
+
+    def __init__(self, graph, x, y, seeds, batch_size: int,
+                 num_neighbors: List[int], replace: bool = False,
+                 impl: str = 'auto', **kw):
+        from pyg_lib_tpu.sampler.dist_service import DistGraph
+
+        if not isinstance(graph, DistGraph):
+            raise TypeError('DistNeighborLoader needs a DistGraph '
+                            '(see sampler.dist_service.partition_graph)')
+        super().__init__(np.zeros(1, np.int64), np.zeros(0, np.int64), x,
+                         y, seeds, batch_size, num_neighbors, **kw)
+        self._graph = graph
+        self._replace = replace
+        self._impl = impl
+
+    def _make_batch(self, seed_ids: np.ndarray, stream: int) -> Dict:
+        from pyg_lib_tpu.sampler.dist_service import DistNeighborSampler
+
+        ds = DistNeighborSampler(self._graph, rng=stream,
+                                 replace=self._replace, impl=self._impl)
+        row, col, node_id, nph = ds.sample(seed_ids, self.num_neighbors)
+        b = pad_sample_output((row, col, node_id, None, nph, []),
+                              self.max_nodes, self.max_edges,
+                              num_seeds=len(seed_ids))
+        nodes = b.node_id
+        batch = {
+            'x': self.x[nodes],
+            'rowptr': b.rowptr,
+            'row': b.row,
+            'col': b.col,
+            'node_mask': b.node_mask,
+            'num_seeds': np.int32(len(seed_ids)),
+        }
+        if self.y is not None:
+            batch['y'] = self.y[nodes]
+        return batch
