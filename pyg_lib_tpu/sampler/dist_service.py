@@ -31,7 +31,7 @@ __all__ = [
     'PartitionBook', 'DistGraph', 'partition_graph',
     'DistNeighborSampler', 'collective_feature_fetch',
     'HeteroDistGraph', 'partition_hetero_graph',
-    'HeteroDistNeighborSampler',
+    'HeteroDistNeighborSampler', 'hetero_collective_feature_fetch',
 ]
 
 
@@ -323,3 +323,12 @@ class HeteroDistNeighborSampler:
             node_id[t] = np.fromiter(seen.keys(), np.int64, len(seen))
         self._step += 1
         return row_d, col_d, node_id
+
+
+def hetero_collective_feature_fetch(mesh, x_sharded_dict, ids_dict,
+                                    axis: str = 'data'):
+    """Per-node-type :func:`collective_feature_fetch` (hetero batches
+    fetch one padded id table per type)."""
+    return {t: collective_feature_fetch(mesh, x_sharded_dict[t],
+                                        ids_dict[t], axis=axis)
+            for t in ids_dict}

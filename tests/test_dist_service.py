@@ -129,3 +129,23 @@ def test_hetero_dist_sampler_full_fanout_matches_local():
         np.testing.assert_array_equal(col_out_d[k], np.asarray(ref[1][k]))
     for t in num_nodes:
         np.testing.assert_array_equal(node_id[t], np.asarray(ref[2][t]))
+
+
+def test_hetero_collective_fetch_8dev():
+    from pyg_lib_tpu.sampler.dist_service import (
+        hetero_collective_feature_fetch, )
+
+    n_dev = 8
+    if len(jax.devices()) < n_dev:
+        pytest.skip('needs 8 virtual devices')
+    mesh = make_mesh((n_dev, ), ('data', ), devices=jax.devices()[:n_dev])
+    rng = np.random.default_rng(9)
+    xs = {'a': jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32)),
+          'b': jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))}
+    ids = {'a': jnp.asarray(rng.integers(0, 64, size=16).astype(np.int32)),
+           'b': jnp.asarray(rng.integers(0, 32, size=8).astype(np.int32))}
+    out = hetero_collective_feature_fetch(mesh, xs, ids)
+    for t in ids:
+        np.testing.assert_allclose(
+            np.asarray(out[t]), np.asarray(xs[t])[np.asarray(ids[t])],
+            rtol=1e-6)
