@@ -273,11 +273,47 @@ def _segment_sum_chunked(msgs_padded, chunk_tile, tile_ptr, num_rows: int,
     return out[:num_rows]
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def _segment_sum_padded_xla(msgs_padded, chunk_tile, tile_ptr,
+                            num_rows: int, chunk: int):
+    """Pure-XLA equivalent of the chunked kernel (same plan layout).
+
+    Non-TPU backends used to run the Pallas INTERPRETER, which re-executes
+    its Python loop on every call (~12 s per 66K-edge call on CPU — it
+    made the CPU examples unusable). This derives each padded slot's row
+    from the per-tile pointer table with a vmapped searchsorted and does
+    one sorted scatter-add; jitted, so CPU runs compile once.
+    """
+    e_pad, f = msgs_padded.shape
+    s = jnp.arange(e_pad, dtype=jnp.int32)
+    t = chunk_tile[s // chunk]  # owning tile per slot
+    bounds = tile_ptr[:, 0, :TR + 1]  # [T, TR+1] padded-coord rowptr
+    b = bounds[t]  # [E_pad, TR+1]
+    row_local = jax.vmap(
+        lambda bb, ss: jnp.searchsorted(bb, ss, side='right'))(b, s) - 1
+    valid = (row_local >= 0) & (row_local < TR) & (s < b[:, TR]) & (
+        s >= b[:, 0])
+    row_global = jnp.where(valid, t * TR + row_local, tile_ptr.shape[0] * TR)
+    out = jnp.zeros((tile_ptr.shape[0] * TR, f), jnp.float32)
+    out = out.at[row_global].add(
+        jnp.where(valid[:, None], msgs_padded.astype(jnp.float32), 0.0),
+        mode='drop')
+    return out[:num_rows]
+
+
 def segment_sum_chunked(msgs_padded: jax.Array, plan: SpmmPlan,
                         interpret: Optional[bool] = None) -> jax.Array:
-    """Reduce pre-gathered padded messages into ``[num_rows, F]`` sums."""
-    if interpret is None:  # Mosaic on TPU, interpreter elsewhere (tests)
-        interpret = jax.default_backend() != 'tpu'
+    """Reduce pre-gathered padded messages into ``[num_rows, F]`` sums.
+
+    TPU: the Mosaic kernel. Elsewhere: a jitted pure-XLA equivalent
+    (pass ``interpret=True`` explicitly to force the Pallas interpreter,
+    as the kernel unit tests do)."""
+    if interpret is None:
+        if jax.default_backend() != 'tpu':
+            return _segment_sum_padded_xla(msgs_padded, plan.chunk_tile,
+                                           plan.tile_ptr, plan.num_rows,
+                                           plan.chunk)
+        interpret = False
     return _segment_sum_chunked(msgs_padded, plan.chunk_tile, plan.tile_ptr,
                                 plan.num_rows, plan.chunk, interpret)
 
@@ -297,8 +333,6 @@ def spmm_plan_apply(x: jax.Array, plan: SpmmPlan,
     29.6 GB at F=512 — halves, for ~8-bit-mantissa message precision.
     The output dtype is unchanged (``x.dtype``).
     """
-    if interpret is None:  # Mosaic on TPU, interpreter elsewhere (tests)
-        interpret = jax.default_backend() != 'tpu'
     xm = x.astype(jnp.bfloat16) if (precision == 'bf16'
                                     and x.dtype != jnp.bfloat16) else x
     msgs = jnp.take(xm, plan.col_padded, axis=0)
