@@ -202,12 +202,16 @@ def scatter_mean(
         count_shape[dim] = dim_size
         count_b = count.reshape(count_shape)
     count_safe = jnp.maximum(count_b, 1)
+    if out is not None:
+        # Reference contract (probed against libpyg): ``out`` is folded
+        # into the SUM before dividing by the count — (out + Σsrc)/n —
+        # and empty buckets keep ``out`` unchanged.
+        merged = (out + sums) / count_safe.astype(src.dtype)
+        return jnp.where(count_b > 0, merged, out)
     if jnp.issubdtype(src.dtype, jnp.floating):
         result = sums / count_safe.astype(src.dtype)
     else:
         result = sums // count_safe.astype(src.dtype)
-    if out is not None:
-        result = out + result
     return result
 
 

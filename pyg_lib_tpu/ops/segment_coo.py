@@ -128,19 +128,39 @@ def segment_mean_coo(
     from pyg_lib_tpu.ops.segment_csr import segment_mean_csr
 
     n = _infer_n(index, out, dim_size)
+    # Reference ``out=`` contract for COO mean (probed against libpyg):
+    # non-empty buckets are OVERWRITTEN with the plain mean, empty
+    # buckets KEEP ``out`` (unlike CSR mean, which zeroes them).
     if index.ndim > 1:
         src_flat, idx_flat, b, e, bshape, kshape = _flatten_batched(
             src, index, n)
         indptr = _coo_to_indptr(idx_flat, b * n)
         means = segment_mean_csr(src_flat, indptr)
         result = means.reshape(bshape + (n, ) + kshape)
-        return result if out is None else out + result
+        if out is None:
+            return result
+        counts = (indptr[1:] - indptr[:-1]).reshape(
+            bshape + (n, ) + (1, ) * len(kshape))
+        return jnp.where(counts > 0, result, out)
     if src.ndim == 2 and src.shape[0] == index.shape[0]:
         # Sorted indices are a CSR: sum via the Pallas kernel, divide by
         # per-segment counts (same routing as segment_sum_coo).
         indptr = _coo_to_indptr(index, n)
-        return segment_mean_csr(src, indptr, out)
-    return scatter_mean(src, index, _coo_dim(index), out, dim_size)
+        result = segment_mean_csr(src, indptr)
+        if out is None:
+            return result
+        counts = (indptr[1:] - indptr[:-1])[:, None]
+        return jnp.where(counts > 0, result, out)
+    if out is None:
+        return scatter_mean(src, index, _coo_dim(index), None, dim_size)
+    result = scatter_mean(src, index, _coo_dim(index), None,
+                          out.shape[_coo_dim(index)])
+    dim = _coo_dim(index)
+    counts = jnp.zeros((out.shape[dim], ), jnp.int32).at[
+        index.reshape(-1)].add(1, mode='drop')
+    shape = [1] * out.ndim
+    shape[dim] = out.shape[dim]
+    return jnp.where(counts.reshape(shape) > 0, result, out)
 
 
 def _minmax_coo(src, index, out, dim_size, is_min):
@@ -160,9 +180,15 @@ def _minmax_coo(src, index, out, dim_size, is_min):
     arg = jnp.where(arg >= b * e, e, arg - batch_base)
     arg = arg.reshape(bshape + (n, ) + kshape)
     if out is not None:
+        # Reference contract: elementwise merge with ``out``; wherever
+        # ``out`` wins (strictly better, or empty bucket) the argindex is
+        # the sentinel ``e`` — no src element is the winner.
         nonempty = arg < e
         merge = jnp.minimum if is_min else jnp.maximum
-        vals = jnp.where(nonempty, merge(out, vals), out)
+        out_wins = (out < vals) if is_min else (out > vals)
+        merged = jnp.where(nonempty, merge(out, vals), out)
+        arg = jnp.where(nonempty & ~out_wins, arg, jnp.int32(e))
+        vals = merged
     return vals, arg
 
 

@@ -141,8 +141,9 @@ def segment_mean_csr(src: Array, indptr: Array,
         result = sums / count.astype(src.dtype)
     else:
         result = sums // count.astype(src.dtype)
-    if out is not None:
-        result = out + result
+    # Reference contract (probed against libpyg): mean IGNORES prior
+    # ``out`` contents entirely — the buffer is overwritten, empty rows
+    # included (they get 0, same as without out).
     return result
 
 
@@ -282,6 +283,20 @@ def _minmax_bwd(is_min, n, res, cot):
 _segment_minmax_csr.defvjp(_minmax_fwd, _minmax_bwd)
 
 
+def _merge_minmax_out(vals, arg, out, indptr, src, is_min):
+    """Reference ``out=`` contract (probed against libpyg): values merge
+    elementwise with ``out``, and wherever ``out`` wins — strictly better,
+    or the row is empty — the argindex is the SENTINEL ``src.size(dim)``
+    (no src element is the winner)."""
+    nonempty = (_row_counts(indptr) > 0).reshape((-1, ) + (1, ) *
+                                                 (src.ndim - 1))
+    merge = jnp.minimum if is_min else jnp.maximum
+    merged = jnp.where(nonempty, merge(out, vals), out)
+    out_wins = (out < vals) if is_min else (out > vals)
+    arg = jnp.where(nonempty & ~out_wins, arg, jnp.int32(src.shape[0]))
+    return merged, arg
+
+
 def segment_min_csr(src: Array, indptr: Array,
                     out: Optional[Array] = None) -> Tuple[Array, Array]:
     """Parity: reference ``segment_min_csr``
@@ -292,9 +307,7 @@ def segment_min_csr(src: Array, indptr: Array,
     else:
         vals, arg = _segment_minmax_csr(src, indptr, True, src.shape[0])
     if out is not None:
-        nonempty = (_row_counts(indptr) > 0).reshape((-1, ) + (1, ) *
-                                                     (src.ndim - 1))
-        vals = jnp.where(nonempty, jnp.minimum(out, vals), out)
+        vals, arg = _merge_minmax_out(vals, arg, out, indptr, src, True)
     return vals, arg
 
 
@@ -308,9 +321,7 @@ def segment_max_csr(src: Array, indptr: Array,
     else:
         vals, arg = _segment_minmax_csr(src, indptr, False, src.shape[0])
     if out is not None:
-        nonempty = (_row_counts(indptr) > 0).reshape((-1, ) + (1, ) *
-                                                     (src.ndim - 1))
-        vals = jnp.where(nonempty, jnp.maximum(out, vals), out)
+        vals, arg = _merge_minmax_out(vals, arg, out, indptr, src, False)
     return vals, arg
 
 

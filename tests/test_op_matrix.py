@@ -72,12 +72,16 @@ def test_segment_csr_matrix_with_out(dtype, reduce):
 
     got = ops.segment_csr(jnp.asarray(src), jnp.asarray(rowptr),
                           out=jnp.asarray(out0), reduce=reduce)
-    # reference 'out' semantics: accumulate into out
+    # reference 'out' semantics (probed against libpyg, see
+    # test_reference_parity): sum accumulates, mean OVERWRITES (empty
+    # rows -> 0), min/max merge elementwise.
     base = _np_scatter(src, np.repeat(np.arange(7), np.diff(rowptr)), 7,
                        reduce)
     cnt = np.diff(rowptr)
-    if reduce in ('sum', 'mean'):
+    if reduce == 'sum':
         ref = out0 + base
+    elif reduce == 'mean':
+        ref = base
     else:
         op = np.minimum if reduce == 'min' else np.maximum
         ref = np.where(cnt[:, None] > 0, op(out0, base), out0)

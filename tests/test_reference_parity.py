@@ -651,3 +651,118 @@ def test_attention_layer_softmax_csr_composition_matches():
     msgs = jnp.take(jnp.asarray(x), jnp.asarray(col), axis=0) * alpha
     out = np.asarray(ops.segment_sum_csr(msgs, jnp.asarray(rowptr)))
     np.testing.assert_allclose(out, out_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('reduce', ['sum', 'mean', 'min', 'max'])
+def test_segment_csr_out_semantics(reduce):
+    rng = np.random.default_rng(40)
+    n, e, f = 11, 60, 3
+    rowptr, _ = _csr(rng, n, n, e)
+    src = rng.normal(size=(e, f))
+    base = rng.normal(size=(n, f))
+
+    ref = getattr(pyg, f'segment_{reduce}_csr')(_t(src), _t(rowptr),
+                                                _t(base).clone())
+    mine = getattr(ops, f'segment_{reduce}_csr')(jnp.asarray(src),
+                                                 jnp.asarray(rowptr),
+                                                 out=jnp.asarray(base))
+    ref_v = ref[0] if isinstance(ref, tuple) else ref
+    out_v = mine[0] if isinstance(mine, tuple) else mine
+    np.testing.assert_allclose(np.asarray(out_v), _n(ref_v), rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_gather_csr_out_tail_preserved():
+    rng = np.random.default_rng(41)
+    n, f = 9, 4
+    rowptr, _ = _csr(rng, n, n, 30)
+    src = rng.normal(size=(n, f))
+    base = rng.normal(size=(40, f))  # longer than indptr[-1]
+    ref = _n(pyg.gather_csr(_t(src), _t(rowptr), _t(base).clone()))
+    out = np.asarray(
+        ops.gather_csr(jnp.asarray(src), jnp.asarray(rowptr),
+                       out=jnp.asarray(base)))
+    np.testing.assert_allclose(out, ref)
+
+
+def test_neighbor_sample_edge_temporal_full_fanout_exact():
+    rowptr, col = _cycle(10)
+    edge_time = np.arange(20, dtype=np.int64)
+    seed = np.array([4, 7], np.int64)
+    seed_time = np.array([15, 9], np.int64)
+    ref = pyg.neighbor_sample(_t(rowptr), _t(col), _t(seed), [-1, -1],
+                              None, _t(edge_time), _t(seed_time), None,
+                              False, False, True, True, 'uniform', True)
+    out = sampler.neighbor_sample(rowptr, col, seed=seed,
+                                  num_neighbors=[-1, -1],
+                                  edge_time=edge_time,
+                                  seed_time=seed_time, disjoint=True)
+    for i in (0, 1, 2, 3):
+        np.testing.assert_array_equal(np.asarray(out[i]), _n(ref[i]))
+
+
+def test_neighbor_sample_csc_full_fanout_exact():
+    rowptr, col = _cycle(8)
+    seed = np.array([2], np.int64)
+    ref = pyg.neighbor_sample(_t(rowptr), _t(col), _t(seed), [-1], None,
+                              None, None, None, True, False, True, False,
+                              'uniform', True)
+    out = sampler.neighbor_sample(rowptr, col, seed=seed,
+                                  num_neighbors=[-1], csc=True)
+    for i in (0, 1, 2, 3):
+        np.testing.assert_array_equal(np.asarray(out[i]), _n(ref[i]))
+
+
+@pytest.mark.parametrize('family', ['scatter', 'coo'])
+@pytest.mark.parametrize('reduce', ['mean', 'min', 'max'])
+def test_out_contract_mean_minmax(family, reduce):
+    """The quirky reference ``out=`` contracts, probed and mirrored:
+    scatter_mean folds out into the sum ((out+Σ)/n); COO mean overwrites
+    non-empty buckets and keeps out on empty ones; min/max merge
+    elementwise and give the SENTINEL argindex where out wins."""
+    rng = np.random.default_rng(50)
+    e, n, f = 24, 9, 3
+    idx = np.sort(rng.integers(0, n, size=e))
+    idx = idx[idx != 4]  # ensure an empty bucket
+    src = rng.normal(size=(len(idx), f))
+    base = rng.normal(size=(n, f)) * 3
+
+    if family == 'scatter':
+        ref = getattr(pyg, f'scatter_{reduce}')(_t(src), _t(idx), 0,
+                                                _t(base).clone(), None)
+        mine = getattr(ops, f'scatter_{reduce}')(jnp.asarray(src),
+                                                 jnp.asarray(idx), dim=0,
+                                                 out=jnp.asarray(base))
+    else:
+        ref = getattr(pyg, f'segment_{reduce}_coo')(_t(src), _t(idx),
+                                                    _t(base).clone(), None)
+        mine = getattr(ops, f'segment_{reduce}_coo')(jnp.asarray(src),
+                                                     jnp.asarray(idx),
+                                                     out=jnp.asarray(base))
+    if reduce == 'mean':
+        np.testing.assert_allclose(np.asarray(mine), _n(ref), rtol=1e-6,
+                                   atol=1e-8)
+    else:
+        ref_v, ref_a = ref
+        v, a = mine
+        np.testing.assert_allclose(np.asarray(v), _n(ref_v), rtol=1e-6,
+                                   atol=1e-8)
+        np.testing.assert_array_equal(np.asarray(a), _n(ref_a))
+
+
+@pytest.mark.parametrize('reduce', ['min', 'max'])
+def test_segment_csr_minmax_out_sentinel(reduce):
+    rng = np.random.default_rng(51)
+    n, e, f = 8, 30, 2
+    rowptr, _ = _csr(rng, n, n, e)
+    src = rng.normal(size=(e, f))
+    base = rng.normal(size=(n, f)) * 3
+    ref_v, ref_a = getattr(pyg, f'segment_{reduce}_csr')(_t(src),
+                                                         _t(rowptr),
+                                                         _t(base).clone())
+    v, a = getattr(ops, f'segment_{reduce}_csr')(jnp.asarray(src),
+                                                 jnp.asarray(rowptr),
+                                                 out=jnp.asarray(base))
+    np.testing.assert_allclose(np.asarray(v), _n(ref_v), rtol=1e-6,
+                               atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(a), _n(ref_a))

@@ -158,9 +158,13 @@ def test_segment_mean_coo_csr_routing():
     ref = ref / cnt[:, None]
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
-    # with out= accumulate semantics
+    # with out=: reference contract (probed against libpyg, see
+    # test_reference_parity) — non-empty buckets OVERWRITTEN with the
+    # plain mean, empty buckets keep out.
     base = rng.normal(size=(n, f)).astype(np.float32)
     out2 = np.asarray(ops.segment_mean_coo(jnp.asarray(src),
                                            jnp.asarray(idx),
                                            out=jnp.asarray(base)))
-    np.testing.assert_allclose(out2, base + ref, atol=1e-4, rtol=1e-4)
+    expect = np.where(np.bincount(idx, minlength=n)[:, None] > 0, ref,
+                      base)
+    np.testing.assert_allclose(out2, expect, atol=1e-4, rtol=1e-4)
