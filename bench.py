@@ -93,7 +93,12 @@ def child_headline():
     e_actual = int(rowptr[-1])
     col = rng.integers(0, n, size=e_actual).astype(np.int32)
 
-    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    # Generate x ON DEVICE: uploading [262k, 512] f32 (537 MB) through
+    # the tunnel dominated wall time and varied minutes run to run. Only
+    # the plan arrays (~40 MB) still upload.
+    x = jax.jit(
+        lambda: jax.random.normal(jax.random.key(0), (n, f), jnp.float32)
+    )()
     graph = ops.build_spmm_graph(rowptr, col)
     iters = 16
 
@@ -126,10 +131,13 @@ def child_fallback():
     rng = np.random.default_rng(0)
     rowptr = np.zeros(n + 1, np.int64)
     rowptr[1:] = np.cumsum(np.full(n, e // n, np.int64))
-    col = jnp.asarray(rng.integers(0, n, size=e).astype(np.int32))
-    row = jnp.asarray(
-        np.repeat(np.arange(n, dtype=np.int32), e // n))
-    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+    # All data generated ON DEVICE (tunnel uploads dominated wall time).
+    make = jax.jit(lambda: (
+        jax.random.randint(jax.random.key(1), (e, ), 0, n, jnp.int32),
+        jnp.repeat(jnp.arange(n, dtype=jnp.int32), e // n),
+        jax.random.normal(jax.random.key(0), (n, f), jnp.float32),
+    ))
+    col, row, x = make()
     iters = 8
 
     @jax.jit
@@ -173,8 +181,13 @@ def main():
     # Phase 1: secure ANY fresh measurement first. The XLA fallback
     # compiles in well under 2 min even cold, so a number is in hand
     # before the expensive attempt (round-1 failure mode: all budget
-    # spent on one cold compile, nothing recorded).
+    # spent on one cold compile, nothing recorded). The line is printed
+    # IMMEDIATELY so even an external kill during phase 2 leaves a
+    # parseable measurement; a successful phase 2 prints the headline
+    # line after it (last line = best available).
     rec = _run_child('fallback', timeout=min(210, remaining() - 60))
+    if rec is not None:
+        print(json.dumps(rec), flush=True)
 
     # Phase 2: the headline config with everything left. Cold compile
     # through the axon tunnel can take 2-10 min; warm (persistent cache,
@@ -186,12 +199,13 @@ def main():
             # watchdog; wait for the reset and retry the cheap config.
             time.sleep(100)
             rec = _run_child('fallback', timeout=remaining() - 10)
+            if rec is not None:
+                print(json.dumps(rec), flush=True)
         if head is not None:
             rec = head
+            print(json.dumps(rec), flush=True)
 
-    if rec is not None:
-        print(json.dumps(rec), flush=True)
-    else:
+    if rec is None:
         # Record the failure honestly rather than printing nothing.
         print(json.dumps({
             'metric': 'spmm_effective_bandwidth',
