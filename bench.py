@@ -185,7 +185,7 @@ def main():
     # IMMEDIATELY so even an external kill during phase 2 leaves a
     # parseable measurement; a successful phase 2 prints the headline
     # line after it (last line = best available).
-    rec = _run_child('fallback', timeout=min(210, remaining() - 60))
+    rec = _run_child('fallback', timeout=min(240, remaining() - 60))
     if rec is not None:
         print(json.dumps(rec), flush=True)
 
