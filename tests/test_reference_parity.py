@@ -766,3 +766,46 @@ def test_segment_csr_minmax_out_sentinel(reduce):
     np.testing.assert_allclose(np.asarray(v), _n(ref_v), rtol=1e-6,
                                atol=1e-8)
     np.testing.assert_array_equal(np.asarray(a), _n(ref_a))
+
+
+def test_dist_neighbor_sample_full_fanout_exact():
+    rowptr, col = _cycle(9)
+    seed = np.array([2, 5], np.int64)
+    ref = pyg.dist_neighbor_sample(_t(rowptr), _t(col), _t(seed), -1, None,
+                                   None, None, None, False, False, True,
+                                   False, 'uniform')
+    nodes, eids, cumsum = sampler.dist_neighbor_sample(rowptr, col, seed,
+                                                       -1)
+    np.testing.assert_array_equal(nodes, _n(ref[0]))
+    np.testing.assert_array_equal(eids, _n(ref[1]))
+    assert list(cumsum) == list(ref[2])
+
+
+def test_hetero_relabel_neighborhood_exact():
+    node_types = ['u', 'v']
+    edge_types = [('u', 'r1', 'v'), ('v', 'r2', 'u')]
+    seed_d = {'u': np.array([3, 8], np.int64), 'v': np.zeros(0, np.int64)}
+    # one layer: each u seed sampled 2 v-neighbors via r1; each of those
+    # v nodes sampled 1 u-neighbor via r2 in layer 2
+    sampled = {'v': np.array([10, 11, 10, 12], np.int64),
+               'u': np.array([3, 9, 8, 9], np.int64)}
+    counts = {('u', 'r1', 'v'): [[2, 2], []],
+              ('v', 'r2', 'u'): [[], [1, 1, 1, 1]]}
+    num_nodes = {'u': 20, 'v': 20}
+
+    ref = pyg.hetero_relabel_neighborhood(
+        node_types, edge_types,
+        {t: _t(v) for t, v in seed_d.items()},
+        {t: _t(v) for t, v in sampled.items()},
+        {'u__r1__v': counts[('u', 'r1', 'v')],
+         'v__r2__u': counts[('v', 'r2', 'u')]},
+        num_nodes, None, False, False)
+
+    row_d, col_d = sampler.hetero_relabel_neighborhood(
+        node_types, edge_types, seed_d, sampled, counts, num_nodes)
+    for et, key in [(('u', 'r1', 'v'), 'u__r1__v'),
+                    (('v', 'r2', 'u'), 'v__r2__u')]:
+        np.testing.assert_array_equal(np.asarray(row_d[et]),
+                                      _n(ref[0][key]))
+        np.testing.assert_array_equal(np.asarray(col_d[et]),
+                                      _n(ref[1][key]))
