@@ -227,3 +227,25 @@ def test_spmm_bf16_precision_mode():
 
     with pytest.raises(ValueError):
         ops.spmm(x, g, precision='fp8')
+
+
+def test_spmm_wide_features_fallback():
+    # F > 2048 exceeds the double-buffered VMEM budget; spmm routes
+    # through the XLA sorted scatter (needs edge maps).
+    rng = np.random.default_rng(13)
+    n, f = 40, 2304
+    deg = rng.integers(0, 4, size=n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=int(rowptr[-1]))
+    g = ops.build_spmm_graph(rowptr, col, with_edge_maps=True)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    out = np.asarray(ops.spmm(jnp.asarray(x), g))
+    ref = np.zeros((n, f), np.float32)
+    for r in range(n):
+        ref[r] = x[col[rowptr[r]:rowptr[r + 1]]].sum(0)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    g2 = ops.build_spmm_graph(rowptr, col)  # no edge maps -> clear error
+    with pytest.raises(ValueError, match='with_edge_maps'):
+        ops.spmm(jnp.asarray(x), g2)
