@@ -45,9 +45,8 @@ __all__ = [
 
 
 def _check_indptr(indptr: Array):
-    if indptr.ndim != 1:
-        raise NotImplementedError(
-            'batched indptr: vmap segment_*_csr over leading axes')
+    if indptr.ndim < 1:
+        raise ValueError('indptr must have at least 1 dimension')
     # Concrete indptrs are validated (a non-monotonic indptr silently
     # produces garbage segments — reference TORCH_CHECK role); tracers
     # cannot be inspected without a device sync and pass through.
@@ -55,7 +54,7 @@ def _check_indptr(indptr: Array):
         import numpy as np
 
         ip = np.asarray(indptr)
-        if len(ip) and (np.diff(ip) < 0).any():
+        if ip.shape[-1] and (np.diff(ip, axis=-1) < 0).any():
             raise ValueError('indptr must be non-decreasing')
 
 
@@ -65,6 +64,178 @@ def _segment_ids(indptr: Array, num_elements: int) -> Array:
 
 def _row_counts(indptr: Array) -> Array:
     return indptr[1:] - indptr[:-1]
+
+
+# -- batched (multi-dim) indptr -----------------------------------------------
+#
+# The reference CSR family accepts an ``indptr`` with leading batch dims: the
+# reduction axis is ``dim = indptr.ndim - 1``, indptr's leading dims broadcast
+# against src's, and every leading slice applies its own row ranges
+# (reference ``csrc/ops/cpu/segment_csr_kernel.cpp:44-52`` broadcast +
+# :96-130 flat (slice, row) loop).  TPU-natively this flattens to ONE sorted
+# scatter over a fused (slice, row) id space — no Python loop, no per-slice
+# retrace.
+
+
+def _batched_setup(src: Array, indptr: Array):
+    """Broadcast indptr leading dims against src and flatten both to
+    ``(L, E, *feat)`` / ``(L, R+1)``."""
+    b = indptr.ndim - 1
+    if src.ndim < indptr.ndim:
+        raise ValueError(
+            f'src.ndim ({src.ndim}) must be >= indptr.ndim ({indptr.ndim})')
+    lead = src.shape[:b]
+    indptr_b = jnp.broadcast_to(indptr, lead + indptr.shape[-1:])
+    feat = src.shape[b + 1:]
+    num_el = src.shape[b]
+    size_l = 1
+    for d in lead:
+        size_l *= d
+    ip2 = indptr_b.reshape((size_l, indptr.shape[-1]))
+    src2 = src.reshape((size_l, num_el) + feat)
+    return lead, size_l, num_el, feat, ip2, src2
+
+
+def _batched_flat_ids(ip2: Array, num_el: int, num_rows: int) -> Array:
+    """Fused (slice, row) segment id per element, shape ``(L, E)``.
+
+    Elements outside their slice's ``[indptr[0], indptr[-1])`` get the
+    out-of-range id ``L*R`` so ``mode='drop'`` scatters ignore them (they
+    must NOT fall into a neighbouring slice's rows)."""
+    size_l = ip2.shape[0]
+    ids = jax.vmap(lambda p: indptr_to_index(p, num_el))(ip2)
+    base = (jnp.arange(size_l, dtype=jnp.int32) * num_rows)[:, None]
+    return jnp.where(ids < num_rows, ids + base,
+                     jnp.int32(size_l * num_rows))
+
+
+def _segment_sum_csr_batched(src: Array, indptr: Array) -> Array:
+    lead, size_l, num_el, feat, ip2, src2 = _batched_setup(src, indptr)
+    num_rows = indptr.shape[-1] - 1
+    gids = _batched_flat_ids(ip2, num_el, num_rows).reshape(-1)
+    flat = src2.reshape((size_l * num_el, ) + feat)
+    out = jnp.zeros((size_l * num_rows, ) + feat, src.dtype)
+    # Plain scatter-add: XLA's transpose (gather at gids, dropped -> 0) IS
+    # the reference backward, so no custom_vjp is needed on this path.
+    out = out.at[gids].add(flat, mode='drop')
+    return out.reshape(lead + (num_rows, ) + feat)
+
+
+def _segment_mean_csr_batched(src: Array, indptr: Array) -> Array:
+    sums = _segment_sum_csr_batched(src, indptr)
+    b = indptr.ndim - 1
+    lead = src.shape[:b]
+    indptr_b = jnp.broadcast_to(indptr, lead + indptr.shape[-1:])
+    count = jnp.maximum(jnp.diff(indptr_b, axis=-1), 1)
+    count = count.reshape(count.shape + (1, ) * (src.ndim - b - 1))
+    if jnp.issubdtype(src.dtype, jnp.floating):
+        return sums / count.astype(src.dtype)
+    return sums // count.astype(src.dtype)
+
+
+def _minmax_batched_impl(src: Array, indptr: Array, is_min: bool):
+    lead, size_l, num_el, feat, ip2, src2 = _batched_setup(src, indptr)
+    num_rows = indptr.shape[-1] - 1
+    flat_ids = _batched_flat_ids(ip2, num_el, num_rows).reshape(-1)
+    flat = src2.reshape((size_l * num_el, ) + feat)
+    ident = min_identity(src.dtype) if is_min else max_identity(src.dtype)
+    init = jnp.full((size_l * num_rows, ) + feat, ident, dtype=src.dtype)
+    if is_min:
+        vals = init.at[flat_ids].min(flat, mode='drop')
+    else:
+        vals = init.at[flat_ids].max(flat, mode='drop')
+    safe = jnp.minimum(flat_ids, size_l * num_rows - 1)
+    picked = jnp.take(vals, safe, axis=0)
+    # First-winner argindex in PER-SLICE coordinates; sentinel = E
+    # (reference sentinel src.size(dim), segment_csr_kernel.cpp:324-326).
+    pos = jnp.tile(jnp.arange(num_el, dtype=jnp.int32), size_l)
+    pos = pos.reshape((size_l * num_el, ) + (1, ) * len(feat))
+    pos = jnp.broadcast_to(pos, flat.shape)
+    valid = (flat_ids < size_l * num_rows).reshape(
+        (size_l * num_el, ) + (1, ) * len(feat))
+    cand = jnp.where(valid & (flat == picked), pos, jnp.int32(num_el))
+    arg = jnp.full((size_l * num_rows, ) + feat, jnp.int32(num_el))
+    arg = arg.at[flat_ids].min(cand, mode='drop')
+    counts = ip2[:, 1:] - ip2[:, :-1]
+    empty = (counts == 0).reshape((size_l * num_rows, ) + (1, ) * len(feat))
+    vals = jnp.where(empty, jnp.zeros_like(vals), vals)
+    out_shape = lead + (num_rows, ) + feat
+    return vals.reshape(out_shape), arg.reshape(out_shape)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _segment_minmax_csr_batched(src, indptr, is_min, meta):
+    return _minmax_batched_impl(src, indptr, is_min)
+
+
+def _minmax_batched_fwd(src, indptr, is_min, meta):
+    vals, arg = _minmax_batched_impl(src, indptr, is_min)
+    return (vals, arg), arg
+
+
+def _minmax_batched_bwd(is_min, meta, res, cot):
+    b, src_shape = meta
+    arg = res
+    g, _ = cot
+    num_el = src_shape[b]
+    feat = src_shape[b + 1:]
+    size_l = 1
+    for d in src_shape[:b]:
+        size_l *= d
+    num_rows = arg.shape[b]
+    kf = 1
+    for d in feat:
+        kf *= d
+    gf = g.reshape(size_l * num_rows, kf)
+    af = arg.reshape(size_l * num_rows, kf)
+    rowbase = (jnp.arange(size_l * num_rows, dtype=jnp.int32) //
+               jnp.int32(max(num_rows, 1))) * jnp.int32(num_el)
+    # Winner-only gradient; the sentinel E maps to the drop id L*E (NOT
+    # l*E + E, which would leak into the next slice's element 0).
+    tgt = jnp.where(af < num_el, rowbase[:, None] + af,
+                    jnp.int32(size_l * num_el))
+    cols = jnp.broadcast_to(
+        jnp.arange(kf, dtype=jnp.int32)[None, :], af.shape)
+    grad = jnp.zeros((size_l * num_el, kf), g.dtype).at[tgt, cols].add(
+        gf, mode='drop')
+    return grad.reshape(src_shape), None
+
+
+_segment_minmax_csr_batched.defvjp(_minmax_batched_fwd, _minmax_batched_bwd)
+
+
+def _gather_csr_batched(src: Array, indptr: Array, out_size: int,
+                        out: Optional[Array]) -> Array:
+    b = indptr.ndim - 1
+    if src.ndim < indptr.ndim:
+        raise ValueError(
+            f'src.ndim ({src.ndim}) must be >= indptr.ndim ({indptr.ndim})')
+    num_rows = indptr.shape[-1] - 1
+    if src.shape[b] != num_rows:
+        raise ValueError(
+            'gather_csr: src.shape[dim] must equal indptr.shape[-1] - 1')
+    lead = src.shape[:b]
+    feat = src.shape[b + 1:]
+    indptr_b = jnp.broadcast_to(indptr, lead + indptr.shape[-1:])
+    size_l = 1
+    for d in lead:
+        size_l *= d
+    ip2 = indptr_b.reshape((size_l, indptr.shape[-1]))
+    ids = jax.vmap(lambda p: indptr_to_index(p, out_size))(ip2)
+    base = (jnp.arange(size_l, dtype=jnp.int32) * num_rows)[:, None]
+    flat_ids = jnp.where(ids < num_rows, ids + base,
+                         jnp.int32(size_l * num_rows)).reshape(-1)
+    src_flat = src.reshape((size_l * num_rows, ) + feat)
+    safe = jnp.minimum(flat_ids, size_l * num_rows - 1)
+    res = jnp.take(src_flat, safe, axis=0)
+    pad = (flat_ids >= size_l * num_rows).reshape(
+        (size_l * out_size, ) + (1, ) * len(feat))
+    res = jnp.where(pad, jnp.zeros_like(res), res)
+    res = res.reshape(lead + (out_size, ) + feat)
+    if out is not None:
+        written = (~pad).reshape(lead + (out_size, ) + (1, ) * len(feat))
+        res = jnp.where(written, res.astype(out.dtype), out)
+    return res
 
 
 # -- sum ---------------------------------------------------------------------
@@ -115,9 +286,16 @@ segment_sum_csr_.defvjp(_sum_fwd, _sum_bwd)
 def segment_sum_csr(src: Array, indptr: Array,
                     out: Optional[Array] = None) -> Array:
     """Parity: reference ``segment_sum_csr``
-    (``pyg_lib/ops/__init__.py:634-656``). ``out`` accumulates."""
+    (``pyg_lib/ops/__init__.py:634-656``). ``out`` accumulates.
+
+    ``indptr`` may carry leading batch dims (reduction axis
+    ``indptr.ndim - 1``, leading dims broadcast against ``src`` — reference
+    ``csrc/ops/cpu/segment_csr_kernel.cpp:44-52``)."""
     _check_indptr(indptr)
-    result = segment_sum_csr_(src, indptr)
+    if indptr.ndim == 1:
+        result = segment_sum_csr_(src, indptr)
+    else:
+        result = _segment_sum_csr_batched(src, indptr)
     if out is not None:
         result = out + result
     return result
@@ -134,6 +312,8 @@ def segment_mean_csr(src: Array, indptr: Array,
     """Mean over CSR rows; empty rows yield zero (reference
     ``pyg_lib/ops/__init__.py:659-676``)."""
     _check_indptr(indptr)
+    if indptr.ndim != 1:
+        return _segment_mean_csr_batched(src, indptr)
     sums = segment_sum_csr_(src, indptr)
     count = jnp.maximum(_row_counts(indptr), 1)
     count = count.reshape((-1, ) + (1, ) * (src.ndim - 1))
@@ -288,12 +468,16 @@ def _merge_minmax_out(vals, arg, out, indptr, src, is_min):
     elementwise with ``out``, and wherever ``out`` wins — strictly better,
     or the row is empty — the argindex is the SENTINEL ``src.size(dim)``
     (no src element is the winner)."""
-    nonempty = (_row_counts(indptr) > 0).reshape((-1, ) + (1, ) *
-                                                 (src.ndim - 1))
+    b = indptr.ndim - 1
+    lead = src.shape[:b]
+    indptr_b = jnp.broadcast_to(indptr, lead + indptr.shape[-1:])
+    counts = jnp.diff(indptr_b, axis=-1)
+    nonempty = (counts > 0).reshape(counts.shape + (1, ) *
+                                    (src.ndim - b - 1))
     merge = jnp.minimum if is_min else jnp.maximum
     merged = jnp.where(nonempty, merge(out, vals), out)
     out_wins = (out < vals) if is_min else (out > vals)
-    arg = jnp.where(nonempty & ~out_wins, arg, jnp.int32(src.shape[0]))
+    arg = jnp.where(nonempty & ~out_wins, arg, jnp.int32(src.shape[b]))
     return merged, arg
 
 
@@ -302,7 +486,10 @@ def segment_min_csr(src: Array, indptr: Array,
     """Parity: reference ``segment_min_csr``
     (``pyg_lib/ops/__init__.py:679-700``)."""
     _check_indptr(indptr)
-    if _use_planned_minmax(src, indptr):
+    if indptr.ndim != 1:
+        vals, arg = _segment_minmax_csr_batched(
+            src, indptr, True, (indptr.ndim - 1, tuple(src.shape)))
+    elif _use_planned_minmax(src, indptr):
         vals, arg = _planned_minmax(indptr, True)(src)
     else:
         vals, arg = _segment_minmax_csr(src, indptr, True, src.shape[0])
@@ -316,7 +503,10 @@ def segment_max_csr(src: Array, indptr: Array,
     """Parity: reference ``segment_max_csr``
     (``pyg_lib/ops/__init__.py:703-724``)."""
     _check_indptr(indptr)
-    if _use_planned_minmax(src, indptr):
+    if indptr.ndim != 1:
+        vals, arg = _segment_minmax_csr_batched(
+            src, indptr, False, (indptr.ndim - 1, tuple(src.shape)))
+    elif _use_planned_minmax(src, indptr):
         vals, arg = _planned_minmax(indptr, False)(src)
     else:
         vals, arg = _segment_minmax_csr(src, indptr, False, src.shape[0])
@@ -343,14 +533,21 @@ def gather_csr(src: Array, indptr: Array, out: Optional[Array] = None,
 
     ``out_size`` (== ``indptr[-1]``) must be given under ``jax.jit`` since
     output shapes are static; eagerly it is inferred.
+
+    ``indptr`` may carry leading batch dims (reference reads the output
+    size from the flattened-last indptr entry,
+    ``csrc/ops/cpu/segment_csr_kernel.cpp:586``).
     """
     _check_indptr(indptr)
+    dim = indptr.ndim - 1
     if out is not None:
-        out_size = out.shape[0]
+        out_size = out.shape[dim]
     if out_size is None:
         if isinstance(indptr, jax.core.Tracer):
             raise ValueError('gather_csr needs static out_size under jit')
-        out_size = int(jax.device_get(indptr[-1]))
+        out_size = int(jax.device_get(indptr.reshape(-1)[-1]))
+    if indptr.ndim != 1:
+        return _gather_csr_batched(src, indptr, out_size, out)
     result = gather_csr_impl(src, indptr, out_size)
     if out is not None:
         # Only positions [0, indptr[-1]) are written; out's tail is kept

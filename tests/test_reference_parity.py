@@ -809,3 +809,63 @@ def test_hetero_relabel_neighborhood_exact():
                                       _n(ref[0][key]))
         np.testing.assert_array_equal(np.asarray(col_d[et]),
                                       _n(ref[1][key]))
+
+
+@pytest.mark.parametrize('reduce', ['sum', 'mean', 'min', 'max'])
+def test_segment_csr_batched_parity(reduce):
+    """Batched (multi-dim) indptr: reduction axis indptr.ndim-1, leading
+    dims broadcast (reference csrc/ops/cpu/segment_csr_kernel.cpp:44-52)."""
+    rng = np.random.default_rng(50)
+    L, E, F, R = 3, 14, 5, 4
+    src = rng.normal(size=(L, E, F))
+    bounds = np.sort(rng.integers(0, E + 1, size=(L, R - 1)), axis=1)
+    rowptr = np.concatenate(
+        [np.zeros((L, 1), np.int64), bounds,
+         np.full((L, 1), E, np.int64)], axis=1)
+
+    ref = getattr(pyg, f'segment_{reduce}_csr')(_t(src), _t(rowptr), None)
+    mine = getattr(ops, f'segment_{reduce}_csr')(jnp.asarray(src),
+                                                 jnp.asarray(rowptr))
+    if reduce in ('min', 'max'):
+        ref_val, ref_arg = ref
+        out, arg = mine
+        nonempty = np.diff(rowptr, axis=1) > 0
+        mask = np.broadcast_to(nonempty[..., None], (L, R, F))
+        np.testing.assert_allclose(np.asarray(out)[mask],
+                                   _n(ref_val)[mask])
+        np.testing.assert_array_equal(np.asarray(arg), _n(ref_arg))
+    else:
+        np.testing.assert_allclose(np.asarray(mine), _n(ref), rtol=1e-6,
+                                   atol=1e-8)
+
+
+@pytest.mark.parametrize('reduce', ['sum', 'mean', 'min', 'max'])
+def test_segment_csr_batched_broadcast_parity(reduce):
+    """A size-1 leading indptr dim expands across src slices like the
+    reference's expand()."""
+    rng = np.random.default_rng(51)
+    L, E, F = 2, 10, 3
+    src = rng.normal(size=(L, E, F))
+    rowptr = np.array([[0, 4, 4, 10]], np.int64)
+    ref = getattr(pyg, f'segment_{reduce}_csr')(_t(src), _t(rowptr), None)
+    mine = getattr(ops, f'segment_{reduce}_csr')(jnp.asarray(src),
+                                                 jnp.asarray(rowptr))
+    ref_v = ref[0] if isinstance(ref, tuple) else ref
+    out_v = mine[0] if isinstance(mine, tuple) else mine
+    np.testing.assert_allclose(np.asarray(out_v), _n(ref_v), rtol=1e-6,
+                               atol=1e-8)
+    if isinstance(ref, tuple):
+        np.testing.assert_array_equal(np.asarray(mine[1]), _n(ref[1]))
+
+
+def test_gather_csr_batched_parity():
+    rng = np.random.default_rng(52)
+    L, R, F, T = 2, 4, 3, 11
+    src = rng.normal(size=(L, R, F))
+    bounds = np.sort(rng.integers(0, T + 1, size=(L, R - 1)), axis=1)
+    rowptr = np.concatenate(
+        [np.zeros((L, 1), np.int64), bounds,
+         np.full((L, 1), T, np.int64)], axis=1)
+    ref = _n(pyg.gather_csr(_t(src), _t(rowptr), None))
+    out = np.asarray(ops.gather_csr(jnp.asarray(src), jnp.asarray(rowptr)))
+    np.testing.assert_allclose(out, ref)

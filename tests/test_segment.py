@@ -168,3 +168,144 @@ def test_segment_mean_coo_csr_routing():
     expect = np.where(np.bincount(idx, minlength=n)[:, None] > 0, ref,
                       base)
     np.testing.assert_allclose(out2, expect, atol=1e-4, rtol=1e-4)
+
+
+# --------------------------------------------- batched (multi-dim) indptr ---
+
+
+def _batched_oracle(src, indptr, reduce):
+    """Loop the per-slice numpy oracle over broadcast leading dims."""
+    b = indptr.ndim - 1
+    lead = src.shape[:b]
+    indptr_b = np.broadcast_to(indptr, lead + indptr.shape[-1:])
+    R = indptr.shape[-1] - 1
+    out = np.zeros(lead + (R, ) + src.shape[b + 1:], dtype=src.dtype)
+    arg = np.full(lead + (R, ) + src.shape[b + 1:], src.shape[b], np.int64)
+    for li in np.ndindex(*lead) if lead else [()]:
+        o, a = _segment_ref(src[li], indptr_b[li], reduce)
+        out[li] = o
+        # per-slice argindices are LOCAL to the slice (sentinel E)
+        arg[li] = np.where(a < src.shape[b], a, src.shape[b])
+    return out, arg
+
+
+@pytest.mark.parametrize('reduce', ['sum', 'mean', 'min', 'max'])
+def test_segment_csr_batched(reduce):
+    rng = np.random.default_rng(7)
+    L, E, F, R = 3, 10, 4, 4
+    src = rng.normal(size=(L, E, F)).astype(np.float32)
+    indptr = np.stack([
+        np.array([0, 3, 3, 7, 10]),
+        np.array([0, 0, 5, 9, 10]),
+        np.array([2, 4, 6, 8, 10]),  # leading gap: src[2,:2] in no row
+    ]).astype(np.int64)
+    expected, earg = _batched_oracle(src, indptr, reduce)
+    res = getattr(ops, f'segment_{reduce}_csr')(jnp.asarray(src),
+                                                jnp.asarray(indptr))
+    if reduce in ('min', 'max'):
+        vals, arg = res
+        assert vals.shape == (L, R, F)
+        assert_allclose(vals, expected, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(arg), earg)
+    else:
+        assert res.shape == (L, R, F)
+        assert_allclose(res, expected, rtol=1e-5)
+
+
+@pytest.mark.parametrize('reduce', ['sum', 'mean', 'min', 'max'])
+def test_segment_csr_batched_broadcast_indptr(reduce):
+    """indptr with a size-1 leading dim broadcasts over src's slices."""
+    rng = np.random.default_rng(8)
+    L, E, F = 4, 9, 3
+    src = rng.normal(size=(L, E, F)).astype(np.float32)
+    indptr = np.array([[0, 4, 4, 9]], dtype=np.int64)  # shape (1, 4)
+    expected, _ = _batched_oracle(src, indptr, reduce)
+    res = getattr(ops, f'segment_{reduce}_csr')(jnp.asarray(src),
+                                                jnp.asarray(indptr))
+    vals = res[0] if reduce in ('min', 'max') else res
+    assert vals.shape == (L, 3, F)
+    assert_allclose(vals, expected, rtol=1e-5)
+
+
+def test_segment_csr_batched_3lead(reduce='sum'):
+    rng = np.random.default_rng(9)
+    src = rng.normal(size=(2, 3, 8, 2)).astype(np.float32)
+    indptr = np.broadcast_to(
+        np.array([0, 2, 8], np.int64), (2, 3, 3)).copy()
+    expected, _ = _batched_oracle(src, indptr, 'sum')
+    out = ops.segment_sum_csr(jnp.asarray(src), jnp.asarray(indptr))
+    assert out.shape == (2, 3, 2, 2)
+    assert_allclose(out, expected, rtol=1e-5)
+
+
+def test_segment_csr_batched_sum_out_accumulates():
+    rng = np.random.default_rng(10)
+    src = rng.normal(size=(2, 6, 3)).astype(np.float32)
+    indptr = np.array([[0, 2, 6], [0, 5, 6]], np.int64)
+    base = rng.normal(size=(2, 2, 3)).astype(np.float32)
+    expected, _ = _batched_oracle(src, indptr, 'sum')
+    out = ops.segment_sum_csr(jnp.asarray(src), jnp.asarray(indptr),
+                              out=jnp.asarray(base))
+    assert_allclose(out, expected + base, rtol=1e-5)
+
+
+def test_segment_csr_batched_grads():
+    rng = np.random.default_rng(11)
+    src = rng.normal(size=(2, 7, 3)).astype(np.float32)
+    indptr = jnp.asarray(np.array([[0, 3, 3, 7], [1, 2, 6, 7]], np.int64))
+    s = jnp.asarray(src)
+
+    g = jax.grad(lambda x: ops.segment_sum_csr(x, indptr).sum())(s)
+    # d/dsrc of sum = 1 where the element lands in some row
+    expect = np.ones_like(src)
+    expect[1, 0] = 0.0  # slice 1 leading gap: position 0 < indptr[0]=1
+    np.testing.assert_allclose(np.asarray(g), expect)
+
+    # max: winner-only gradient, in-slice coordinates
+    gv = jax.grad(lambda x: ops.segment_max_csr(x, indptr)[0].sum())(s)
+    vals, arg = ops.segment_max_csr(s, indptr)
+    arg_np = np.asarray(arg)
+    expect = np.zeros_like(src)
+    for l in range(2):
+        for r in range(3):
+            for f in range(3):
+                a = arg_np[l, r, f]
+                if a < 7:
+                    expect[l, a, f] += 1.0
+    np.testing.assert_allclose(np.asarray(gv), expect)
+
+
+def test_gather_csr_batched():
+    rng = np.random.default_rng(12)
+    src = rng.normal(size=(2, 3, 4)).astype(np.float32)  # (L, R, F)
+    indptr = np.array([[0, 2, 2, 6], [0, 1, 4, 6]], np.int64)
+    out = np.asarray(ops.gather_csr(jnp.asarray(src), jnp.asarray(indptr)))
+    assert out.shape == (2, 6, 4)
+    for l in range(2):
+        for r in range(3):
+            for p in range(indptr[l, r], indptr[l, r + 1]):
+                np.testing.assert_allclose(out[l, p], src[l, r])
+
+
+def test_gather_csr_batched_unequal_totals_zero_fill():
+    """Slices whose indptr[-1] is short of out_size leave zeros."""
+    rng = np.random.default_rng(13)
+    src = rng.normal(size=(2, 2, 3)).astype(np.float32)
+    indptr = np.array([[0, 3, 6], [0, 2, 4]], np.int64)
+    out = np.asarray(
+        ops.gather_csr(jnp.asarray(src), jnp.asarray(indptr), out_size=6))
+    np.testing.assert_allclose(out[1, 4:], np.zeros((2, 3), np.float32))
+    np.testing.assert_allclose(out[0, 5], src[0, 1])
+
+
+def test_segment_csr_batched_minmax_out_merge():
+    """out= merge keeps reference sentinel semantics per slice."""
+    rng = np.random.default_rng(14)
+    src = rng.normal(size=(2, 5, 2)).astype(np.float32)
+    indptr = np.array([[0, 2, 2, 5], [0, 4, 5, 5]], np.int64)
+    base = np.full((2, 3, 2), 100.0, np.float32)  # out always wins for min
+    vals, arg = ops.segment_min_csr(jnp.asarray(src), jnp.asarray(indptr),
+                                    out=jnp.asarray(-base))
+    # -100 always wins min -> arg sentinel everywhere
+    np.testing.assert_array_equal(np.asarray(arg), np.full((2, 3, 2), 5))
+    np.testing.assert_allclose(np.asarray(vals), -base)
