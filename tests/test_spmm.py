@@ -249,3 +249,87 @@ def test_spmm_wide_features_fallback():
     g2 = ops.build_spmm_graph(rowptr, col)  # no edge maps -> clear error
     with pytest.raises(ValueError, match='with_edge_maps'):
         ops.spmm(jnp.asarray(x), g2)
+
+
+# ---------------------------------------------- range-partitioned plans ----
+
+
+@pytest.mark.parametrize('n,e,f,s', [(300, 4000, 64, 4), (257, 9001, 32, 3),
+                                     (64, 0, 16, 2)])
+@pytest.mark.parametrize('reduce', ['sum', 'mean'])
+def test_spmm_range_split_matches_reference(n, e, f, s, reduce):
+    rng = np.random.default_rng(7)
+    rowptr, col = _random_csr(rng, n, e)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+
+    graph = ops.build_spmm_graph(rowptr, col, chunk=128, range_split=s)
+    out = ops.spmm(jnp.asarray(x), graph, reduce=reduce)
+    ref = _spmm_ref(x, rowptr, col, reduce)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_spmm_range_split_grad_matches_single_plan():
+    rng = np.random.default_rng(8)
+    rowptr, col = _random_csr(rng, 200, 3000)
+    x = jnp.asarray(rng.normal(size=(200, 32)).astype(np.float32))
+    g1 = ops.build_spmm_graph(rowptr, col, chunk=128)
+    g4 = ops.build_spmm_graph(rowptr, col, chunk=128, range_split=4)
+
+    def loss(graph):
+        return lambda v: (ops.spmm(v, graph) ** 2).sum()
+
+    grad1 = jax.grad(loss(g1))(x)
+    grad4 = jax.grad(loss(g4))(x)
+    np.testing.assert_allclose(np.asarray(grad4), np.asarray(grad1),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_spmm_range_split_jit_and_bf16():
+    rng = np.random.default_rng(9)
+    rowptr, col = _random_csr(rng, 150, 2000)
+    x = jnp.asarray(rng.normal(size=(150, 64)).astype(np.float32))
+    graph = ops.build_spmm_graph(rowptr, col, chunk=128, range_split=4)
+
+    @jax.jit
+    def step(v):
+        return ops.spmm(v, graph, precision='bf16')
+
+    out = step(x)
+    ref = _spmm_ref(np.asarray(x), rowptr, col, 'sum')
+    np.testing.assert_allclose(np.asarray(out), ref, atol=0.15, rtol=0.05)
+
+
+def test_spmm_range_split_rectangular():
+    """Bipartite adjacency: num_cols != num_rows, grads sized by cols."""
+    rng = np.random.default_rng(10)
+    n_dst, n_src, e = 90, 310, 2500
+    deg = rng.multinomial(e, np.ones(n_dst) / n_dst)
+    rowptr = np.zeros(n_dst + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n_src, size=e).astype(np.int64)
+    x = jnp.asarray(rng.normal(size=(n_src, 16)).astype(np.float32))
+    graph = ops.build_spmm_graph(rowptr, col, chunk=128, num_cols=n_src,
+                                 range_split=3)
+    out = ops.spmm(x, graph)
+    assert out.shape == (n_dst, 16)
+    n = n_dst
+    ref = np.zeros((n, 16), np.float32)
+    rows = np.repeat(np.arange(n), np.diff(rowptr))
+    np.add.at(ref, rows, np.asarray(x)[col])
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+    grad = jax.grad(lambda v: ops.spmm(v, graph).sum())(x)
+    assert grad.shape == (n_src, 16)
+
+
+def test_spmm_range_split_rejects_minmax_and_edge_maps():
+    rng = np.random.default_rng(11)
+    rowptr, col = _random_csr(rng, 100, 1000)
+    graph = ops.build_spmm_graph(rowptr, col, chunk=128, range_split=2)
+    x = jnp.zeros((100, 8))
+    with pytest.raises(ValueError, match='single-plan'):
+        ops.spmm(x, graph, reduce='max')
+    with pytest.raises(ValueError, match='incompatible'):
+        ops.build_spmm_graph(rowptr, col, range_split=2,
+                             with_edge_maps=True)
+    with pytest.raises(ValueError, match='edge_maps'):
+        ops.sddmm(x, x, graph)
