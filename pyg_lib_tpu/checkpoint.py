@@ -17,22 +17,33 @@ from typing import Any, Dict, Optional
 __all__ = ['save_checkpoint', 'restore_checkpoint', 'latest_step']
 
 
+_LOADER_KEY = 'loader_state'
+
+
 def _ckpt_dir(path: str, step: Optional[int]) -> str:
     return os.path.join(path, f'step_{step:09d}') if step is not None \
         else path
 
 
 def save_checkpoint(path: str, state, step: Optional[int] = None,
-                    metadata: Optional[Dict[str, Any]] = None) -> str:
+                    metadata: Optional[Dict[str, Any]] = None,
+                    loader=None) -> str:
     """Saves an array pytree (params / (params, opt_state) / any pytree)
     plus JSON ``metadata`` under ``path[/step_XXXXXXXXX]``. Returns the
-    checkpoint directory."""
+    checkpoint directory.
+
+    ``loader``: a ``pyg_lib_tpu.loader.*Loader`` (anything exposing
+    ``state_dict()``) whose position is stored in the metadata, so
+    :func:`restore_checkpoint` with ``loader=`` resumes epochs and sample
+    streams exactly."""
     import orbax.checkpoint as ocp
 
     d = os.path.abspath(_ckpt_dir(path, step))
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(d, 'state'), state, force=True)
     meta = dict(metadata or {})
+    if loader is not None:
+        meta[_LOADER_KEY] = loader.state_dict()
     if step is not None:
         meta['step'] = step
     with open(os.path.join(d, 'metadata.json'), 'w') as f:
@@ -40,10 +51,13 @@ def save_checkpoint(path: str, state, step: Optional[int] = None,
     return d
 
 
-def restore_checkpoint(path: str, like, step: Optional[int] = None):
+def restore_checkpoint(path: str, like, step: Optional[int] = None,
+                       loader=None):
     """Restores ``(state, metadata)``; ``like`` is an abstract or concrete
     pytree with the target structure/shapes (e.g. freshly-initialised
-    params). ``step=None`` on a stepped directory picks the latest."""
+    params). ``step=None`` on a stepped directory picks the latest.
+    ``loader=``: apply the checkpoint's stored loader position via
+    ``loader.load_state_dict`` (no-op if the checkpoint has none)."""
     import orbax.checkpoint as ocp
 
     if step is None and latest_step(path) is not None:
@@ -56,6 +70,8 @@ def restore_checkpoint(path: str, like, step: Optional[int] = None):
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    if loader is not None and _LOADER_KEY in meta:
+        loader.load_state_dict(meta[_LOADER_KEY])
     return state, meta
 
 

@@ -105,6 +105,21 @@ class NeighborLoader:
             batch['y'] = self.y[nodes]  # consumer slices seeds / masks pads
         return batch
 
+    def state_dict(self) -> Dict:
+        """Loader position for checkpointing (epoch granularity: the next
+        ``__iter__`` after :meth:`load_state_dict` replays the exact
+        permutation and sample streams the pre-checkpoint run would have
+        used — streams are pure functions of ``(rng, epoch, batch)``)."""
+        return {'epoch': int(self._epoch), 'rng': int(self.rng)}
+
+    def load_state_dict(self, state: Dict) -> None:
+        if int(state.get('rng', self.rng)) != int(self.rng):
+            raise ValueError(
+                f"loader state has rng={state.get('rng')}, this loader "
+                f'was built with rng={self.rng}; resume with the same '
+                'base seed for reproducible streams')
+        self._epoch = int(state['epoch'])
+
     def __iter__(self) -> Iterator[Dict]:
         import jax
 
@@ -239,8 +254,10 @@ class HeteroNeighborLoader:
             batch['seed_offset'] = np.int32(off)
         return batch
 
-    # Reuse NeighborLoader's pipelined iteration verbatim.
+    # Reuse NeighborLoader's pipelined iteration/state verbatim.
     __iter__ = NeighborLoader.__iter__
+    state_dict = NeighborLoader.state_dict
+    load_state_dict = NeighborLoader.load_state_dict
 
 
 class DistNeighborLoader(NeighborLoader):

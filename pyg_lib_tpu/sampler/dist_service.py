@@ -17,6 +17,7 @@ pure functions, so the coordinator loop runs all partitions in-process
 collective runs on a virtual CPU mesh (``tests/conftest.py``).
 """
 
+import zlib
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -94,11 +95,12 @@ class DistNeighborSampler:
     """
 
     def __init__(self, graph: DistGraph, rng: int = 0, replace: bool = False,
-                 impl: str = 'auto'):
+                 impl: str = 'auto', service=None):
         self.graph = graph
         self.rng = rng
         self.replace = replace
         self.impl = impl
+        self.service = service  # transport.SamplingService (else in-proc)
         self._step = 0
 
     def _sample_partition(self, p: int, seeds: np.ndarray,
@@ -116,6 +118,30 @@ class DistNeighborSampler:
         # Edge ids localize per partition; globalize with the edge offset.
         return nodes, eids, cumsum
 
+    def _scatter_sample(self, requests):
+        """``{p: (seeds, fanout, rng_seed)}`` -> per-partition one-hop
+        results, re-globalised. Over a :class:`SamplingService` the sends
+        are pipelined so partitions sample concurrently (the in-process
+        fallback runs them sequentially — same bits, counter RNG)."""
+        if self.service is None:
+            return {
+                p: self._sample_partition(p, seeds, fanout, rng_seed)
+                for p, (seeds, fanout, rng_seed) in requests.items()
+            }
+        wire = {
+            p: ('sample', seeds - int(self.graph.book.bounds[p]), fanout,
+                rng_seed, self.replace, self.impl)
+            for p, (seeds, fanout, rng_seed) in requests.items()
+        }
+        raw = self.service.scatter(wire)
+        out = {}
+        for p, (nodes, eids, cumsum) in raw.items():
+            nodes = nodes.copy()
+            n_seeds = len(requests[p][0])
+            nodes[:n_seeds] += int(self.graph.book.bounds[p])
+            out[p] = (nodes, eids, cumsum)
+        return out
+
     def sample(self, seeds: np.ndarray, fanouts: List[int]):
         """Multi-hop sampling; returns ``(row, col, node_id,
         num_sampled_nodes_per_hop)`` with local contiguous ids."""
@@ -126,21 +152,25 @@ class DistNeighborSampler:
         nodes_per_hop = [len(seeds)]
         for hop, fanout in enumerate(fanouts):
             owner = self.graph.book.owner(frontier)
-            per_part_nodes, per_part_eids, per_part_cumsum = [], [], []
             partition_ids = owner
             partition_orders = np.zeros(len(frontier), np.int64)
+            requests = {}
             for p in range(self.graph.book.num_partitions):
                 mask = owner == p
                 partition_orders[mask] = np.arange(int(mask.sum()))
-                if not mask.any():
+                if mask.any():
+                    rng_seed = (self.rng * 1_000_003 + self._step * 101 +
+                                hop * 7919 + p)
+                    requests[p] = (frontier[mask], fanout, rng_seed)
+            results = self._scatter_sample(requests)
+            per_part_nodes, per_part_eids, per_part_cumsum = [], [], []
+            for p in range(self.graph.book.num_partitions):
+                if p not in results:
                     per_part_nodes.append(np.zeros(0, np.int64))
                     per_part_eids.append(np.zeros(0, np.int64))
                     per_part_cumsum.append(np.zeros(1, np.int64))
                     continue
-                rng_seed = (self.rng * 1_000_003 + self._step * 101 +
-                            hop * 7919 + p)
-                nodes, eids, cumsum = self._sample_partition(
-                    p, frontier[mask], fanout, rng_seed)
+                nodes, eids, cumsum = results[p]
                 per_part_nodes.append(nodes)
                 per_part_eids.append(eids)
                 per_part_cumsum.append(cumsum)
@@ -242,12 +272,31 @@ class HeteroDistNeighborSampler:
     hetero sampler."""
 
     def __init__(self, graph: HeteroDistGraph, rng: int = 0,
-                 replace: bool = False, impl: str = 'auto'):
+                 replace: bool = False, impl: str = 'auto', service=None):
         self.graph = graph
         self.rng = rng
         self.replace = replace
         self.impl = impl
+        self.service = service  # transport.SamplingService (else in-proc)
         self._step = 0
+
+    def _scatter_sample(self, k, requests):
+        """``{p: (local_seeds, fanout, rng_seed)}`` for edge type ``k``
+        -> per-partition one-hop results (pipelined over the service)."""
+        if self.service is None:
+            return {
+                p: dist_neighbor_sample(self.graph.rowptr_parts[(k, p)],
+                                        self.graph.col_parts[(k, p)], seeds,
+                                        fanout, replace=self.replace,
+                                        rng=rng_seed, impl=self.impl)
+                for p, (seeds, fanout, rng_seed) in requests.items()
+            }
+        wire = {
+            p: ('hetero_sample', k, seeds, fanout, rng_seed, self.replace,
+                self.impl)
+            for p, (seeds, fanout, rng_seed) in requests.items()
+        }
+        return self.service.scatter(wire)
 
     def sample(self, seed_dict, num_neighbors_dict):
         from pyg_lib_tpu.sampler.dist import hetero_relabel_neighborhood
@@ -273,26 +322,33 @@ class HeteroDistNeighborSampler:
                 fr = frontier[own_t]
                 owner = g.books[own_t].owner(fr) if len(fr) else np.zeros(
                     0, np.int64)
-                nodes_p, eids_p, cum_p = [], [], []
                 orders = np.zeros(len(fr), np.int64)
+                requests = {}
                 for p in range(g.books[own_t].num_partitions):
                     mask = owner == p
                     orders[mask] = np.arange(int(mask.sum()))
-                    if not mask.any():
+                    if mask.any():
+                        lo = int(g.books[own_t].bounds[p])
+                        # Stable across interpreters (hash() of str is
+                        # PYTHONHASHSEED-randomised, which would break
+                        # cross-run/cross-host reproducibility).
+                        k_hash = zlib.crc32('__'.join(k).encode())
+                        rng_seed = (self.rng * 1_000_003 +
+                                    self._step * 101 + ell * 7919 +
+                                    k_hash % 1000 + p)
+                        requests[p] = (fr[mask] - lo, fanout, rng_seed)
+                results = self._scatter_sample(k, requests)
+                nodes_p, eids_p, cum_p = [], [], []
+                for p in range(g.books[own_t].num_partitions):
+                    if p not in results:
                         nodes_p.append(np.zeros(0, np.int64))
                         eids_p.append(np.zeros(0, np.int64))
                         cum_p.append(np.zeros(1, np.int64))
                         continue
-                    lo = int(g.books[own_t].bounds[p])
-                    rng_seed = (self.rng * 1_000_003 +
-                                self._step * 101 + ell * 7919 +
-                                hash(k) % 1000 + p)
-                    nodes, eids, cumsum = dist_neighbor_sample(
-                        g.rowptr_parts[(k, p)], g.col_parts[(k, p)],
-                        fr[mask] - lo, fanout, replace=self.replace,
-                        rng=rng_seed, impl=self.impl)
+                    nodes, eids, cumsum = results[p]
                     nodes = nodes.copy()
-                    nodes[:int(mask.sum())] += lo  # re-globalise seeds
+                    nodes[:len(requests[p][0])] += int(
+                        g.books[own_t].bounds[p])  # re-globalise seeds
                     nodes_p.append(nodes)
                     eids_p.append(eids)
                     cum_p.append(cumsum)

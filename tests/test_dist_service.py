@@ -149,3 +149,84 @@ def test_hetero_collective_fetch_8dev():
         np.testing.assert_allclose(
             np.asarray(out[t]), np.asarray(xs[t])[np.asarray(ids[t])],
             rtol=1e-6)
+
+
+# ------------------------------------------------- process transport -------
+
+
+def test_sampling_service_matches_inprocess():
+    """Transported runs must be bit-identical to in-process runs (the
+    rng seeds are computed coordinator-side; sampling is counter-based)."""
+    from pyg_lib_tpu.sampler.dist_service import (DistNeighborSampler,
+                                                  partition_graph)
+    from pyg_lib_tpu.sampler.transport import SamplingService
+
+    rng = np.random.default_rng(3)
+    n, e = 200, 1600
+    deg = rng.multinomial(e, np.ones(n) / n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=e).astype(np.int64)
+    graph = partition_graph(rowptr, col, 3)
+
+    seeds = rng.choice(n, size=32, replace=False).astype(np.int64)
+    local = DistNeighborSampler(graph, rng=5)
+    row_l, col_l, nid_l, nph_l = local.sample(seeds, [4, 3])
+
+    with SamplingService.spawn(graph) as svc:
+        remote = DistNeighborSampler(graph, rng=5, service=svc)
+        row_r, col_r, nid_r, nph_r = remote.sample(seeds, [4, 3])
+        np.testing.assert_array_equal(row_r, row_l)
+        np.testing.assert_array_equal(col_r, col_l)
+        np.testing.assert_array_equal(nid_r, nid_l)
+        assert nph_r == nph_l
+        # second batch advances the coordinator step identically
+        r2l = DistNeighborSampler(graph, rng=5)
+        r2l.sample(seeds, [4, 3])
+        row2_l, *_ = r2l.sample(seeds[:8], [2])
+        row2_r, *_ = remote.sample(seeds[:8], [2])
+        np.testing.assert_array_equal(row2_r, row2_l)
+
+
+def test_sampling_service_hetero_matches_inprocess():
+    from pyg_lib_tpu.sampler.dist_service import (
+        HeteroDistNeighborSampler, partition_hetero_graph)
+    from pyg_lib_tpu.sampler.transport import SamplingService
+
+    rng = np.random.default_rng(4)
+    n_a, n_b, e = 60, 90, 700
+    deg = rng.multinomial(e, np.ones(n_a) / n_a)
+    rowptr = np.zeros(n_a + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n_b, size=e).astype(np.int64)
+    k = ('a', 'to', 'b')
+    graph = partition_hetero_graph({k: rowptr}, {k: col},
+                                   {'a': n_a, 'b': n_b}, 2)
+    seeds = {'a': rng.choice(n_a, size=10, replace=False).astype(np.int64)}
+
+    local = HeteroDistNeighborSampler(graph, rng=1)
+    row_l, col_l, nid_l = local.sample(seeds, {k: [3, 2]})
+    with SamplingService.spawn(graph) as svc:
+        remote = HeteroDistNeighborSampler(graph, rng=1, service=svc)
+        row_r, col_r, nid_r = remote.sample(seeds, {k: [3, 2]})
+    for d_l, d_r in ((row_l, row_r), (col_l, col_r), (nid_l, nid_r)):
+        assert d_l.keys() == d_r.keys()
+        for key in d_l:
+            np.testing.assert_array_equal(d_r[key], d_l[key])
+
+
+def test_sampling_service_error_propagates_and_survives():
+    from pyg_lib_tpu.sampler.dist_service import partition_graph
+    from pyg_lib_tpu.sampler.transport import SamplingService
+
+    rowptr = np.array([0, 1, 2], np.int64)
+    col = np.array([1, 0], np.int64)
+    graph = partition_graph(rowptr, col, 2)
+    with SamplingService.spawn(graph) as svc:
+        with pytest.raises(RuntimeError, match='partition 0 failed'):
+            svc.scatter({0: ('bogus_op', )})
+        # server keeps serving after a failed request
+        out = svc.scatter(
+            {0: ('sample', np.array([0], np.int64), 1, 7, False, 'auto')})
+        nodes, eids, cumsum = out[0]
+        assert nodes[0] == 0 and len(cumsum) == 2

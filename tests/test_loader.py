@@ -215,3 +215,51 @@ def test_dist_neighbor_loader_pipeline():
                                   np.asarray(b2['row']))
     np.testing.assert_array_equal(np.asarray(b1['x']),
                                   np.asarray(b2['x']))
+
+
+def test_loader_state_dict_resume():
+    """A resumed loader replays the epochs the original would have run."""
+    rowptr, col = _graph()
+    x = np.zeros((200, 4), np.float32)
+
+    def make():
+        return NeighborLoader(rowptr, col, x, None, seeds=np.arange(48),
+                              batch_size=16, num_neighbors=[2],
+                              num_workers=1, rng=9)
+
+    a = make()
+    list(a)  # epoch 0
+    state = a.state_dict()
+    want = [np.asarray(b['rowptr']) for b in a]  # epoch 1
+
+    b = make()
+    b.load_state_dict(state)
+    got = [np.asarray(bb['rowptr']) for bb in b]
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(g, w)
+
+    import pytest
+    c = NeighborLoader(rowptr, col, x, None, seeds=np.arange(48),
+                       batch_size=16, num_neighbors=[2], rng=10)
+    with pytest.raises(ValueError, match='rng'):
+        c.load_state_dict(state)
+
+
+def test_checkpoint_saves_loader_state(tmp_path):
+    from pyg_lib_tpu.checkpoint import restore_checkpoint, save_checkpoint
+
+    rowptr, col = _graph()
+    x = np.zeros((200, 4), np.float32)
+    loader = NeighborLoader(rowptr, col, x, None, seeds=np.arange(32),
+                            batch_size=16, num_neighbors=[2], rng=3)
+    list(loader)
+    list(loader)
+    import jax.numpy as jnp
+    params = {'w': jnp.ones((2, 2))}
+    save_checkpoint(str(tmp_path / 'c'), params, step=2, loader=loader)
+
+    fresh = NeighborLoader(rowptr, col, x, None, seeds=np.arange(32),
+                           batch_size=16, num_neighbors=[2], rng=3)
+    _, meta = restore_checkpoint(str(tmp_path / 'c'), params, loader=fresh)
+    assert meta['step'] == 2
+    assert fresh.state_dict() == loader.state_dict()
