@@ -59,6 +59,7 @@ from pyg_lib_tpu.ops.spmm import (ShardedSpmmGraph, SpmmGraph,
                                   build_spmm_graph,
                                   build_spmm_graph_sharded, sddmm,
                                   spmm_sharded,
+                                  RangeSpmmPlan,
                                   segment_max_padded,
                                   segment_min_padded,
                                   segment_softmax_padded,
@@ -68,6 +69,7 @@ __all__ = [
     'spmm',
     'spmm_csr',
     'spmm_sharded',
+    'RangeSpmmPlan',
     'ShardedSpmmGraph',
     'build_spmm_graph_sharded',
     'sddmm',

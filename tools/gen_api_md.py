@@ -10,11 +10,13 @@ MODULES = [
     'pyg_lib_tpu.sampler.dist',
     'pyg_lib_tpu.sampler.padding',
     'pyg_lib_tpu.sampler.dist_service',
+    'pyg_lib_tpu.sampler.transport',
     'pyg_lib_tpu.partition',
     'pyg_lib_tpu.classes',
     'pyg_lib_tpu.parallel',
     'pyg_lib_tpu.models',
     'pyg_lib_tpu.loader',
+    'pyg_lib_tpu.checkpoint',
 ]
 
 
