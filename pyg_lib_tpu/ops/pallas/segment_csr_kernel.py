@@ -155,7 +155,7 @@ def segment_sum_csr_pallas(src: jax.Array, indptr: jax.Array,
         in_specs=[
             pl.BlockSpec((PTR_BLOCK, TP), lambda t, *_: (t // PTR_BLOCK, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((TR, f), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),

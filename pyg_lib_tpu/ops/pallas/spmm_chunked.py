@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     'SpmmPlan', 'build_spmm_plan', 'spmm_plan_apply',
-    'segment_sum_chunked', 'split_dot',
+    'segment_sum_chunked', 'split_dot', 'auto_chunk', 'quantize_columns',
 ]
 
 TR = 128  # output rows per tile
@@ -121,7 +121,49 @@ def _build_padded_layout(rowptr: np.ndarray, chunk: int):
     return orig, valid, chunk_tile, tile_ptr, shift
 
 
-def build_spmm_plan(rowptr, col, chunk: int = 512,
+def quantize_columns(x):
+    """Symmetric per-feature-column int8 quantisation.
+
+    Returns ``(xq int8, scale f32[F])`` with
+    ``x ≈ xq * scale[None, :]`` and ``scale[f] = maxabs(x[:, f]) / 127``
+    (1.0 for all-zero columns). Column scales commute with segment sums,
+    so reductions of ``xq`` dequantise with one multiply on the output.
+    """
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=0) / 127.0
+    scale = jnp.where(scale > 0, scale, 1.0)
+    xq = jnp.clip(jnp.round(xf / scale[None, :]), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def auto_chunk(rowptr, candidates=(512, 256, 128),
+               waste_budget: float = 0.15) -> int:
+    """Pick the chunk size for a degree distribution.
+
+    Larger chunks amortise grid-step overhead but pad each TR-row tile's
+    edge span up to a chunk multiple (and at least one chunk), which low
+    mean degree turns into streamed garbage. Returns the largest
+    candidate whose padded-slot overhead stays within ``waste_budget``
+    of the least-padding candidate's total (the bench-validated 512
+    whenever it is not wasteful, 128 for sparse tiles).
+    """
+    rowptr = np.asarray(rowptr, dtype=np.int64)
+    num_rows = rowptr.shape[0] - 1
+    num_tiles = max(-(-num_rows // TR), 1)
+    tb = np.minimum(np.arange(num_tiles + 1) * TR, num_rows)
+    counts = rowptr[tb[1:]] - rowptr[tb[:-1]]
+
+    def padded(c):
+        return int((np.maximum(-(-counts // c), 1) * c).sum())
+
+    floor = min(padded(c) for c in candidates)
+    for c in sorted(candidates, reverse=True):
+        if padded(c) <= (1.0 + waste_budget) * floor:
+            return c
+    return min(candidates)
+
+
+def build_spmm_plan(rowptr, col, chunk=512,
                     with_edge_maps: bool = False,
                     pad_to_chunks: int = None) -> SpmmPlan:
     """Build the chunked schedule for ``out[r] = Σ x[col[e]]`` over CSR rows.
@@ -129,11 +171,15 @@ def build_spmm_plan(rowptr, col, chunk: int = 512,
     One-time host preprocessing per graph (analogous to the reference
     requiring CSR construction up front). ``chunk`` trades padding waste
     (≤ ``chunk`` extra gathered rows per 128-row tile) against grid-step
-    overhead. ``with_edge_maps`` additionally stores the orig↔padded edge
-    permutations used by the planned softmax / weighted-aggregation paths.
+    overhead; ``chunk='auto'`` sizes it from the degree distribution
+    (:func:`auto_chunk`). ``with_edge_maps`` additionally stores the
+    orig↔padded edge permutations used by the planned softmax /
+    weighted-aggregation paths.
     """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col)
+    if chunk == 'auto':
+        chunk = auto_chunk(rowptr)
     orig, valid, chunk_tile, tile_ptr, shift = _build_padded_layout(
         rowptr, chunk)
     if len(col):
@@ -217,6 +263,14 @@ def _chunked_kernel(chunk_tile, ptr_ref, msgs_ref, out_ref):
     dims = (((0, ), (0, )), ((), ()))
     if data.dtype == jnp.bfloat16:
         contrib = jax.lax.dot_general(m, data, dimension_numbers=dims,
+                                      preferred_element_type=jnp.float32)
+    elif data.dtype == jnp.int8:
+        # Quantised messages: int8 magnitudes (<=127) are exact in bf16,
+        # and f32 accumulation is exact below 2^24, so the segment sum of
+        # the quantised values is bit-exact; the caller applies the
+        # per-column dequantisation scale to the reduced output.
+        contrib = jax.lax.dot_general(m, data.astype(jnp.bfloat16),
+                                      dimension_numbers=dims,
                                       preferred_element_type=jnp.float32)
     else:
         contrib = split_dot(m, data.astype(jnp.float32), dims)
@@ -332,7 +386,40 @@ def spmm_plan_apply(x: jax.Array, plan: SpmmPlan,
     materialised round-trip — the dominant real traffic, measured 19.4 of
     29.6 GB at F=512 — halves, for ~8-bit-mantissa message precision.
     The output dtype is unchanged (``x.dtype``).
+
+    ``precision='int8'`` additionally quantises the gathered table to
+    int8 with one symmetric round-to-nearest scale per feature column
+    (``scale[f] = maxabs(x[:, f]) / 127``). Per-column scales commute
+    with the segment sum, so the reduction of the quantised values is
+    bit-exact and dequantisation is one multiply on the reduced output —
+    no per-edge scale bookkeeping. Quarters both the gather table and
+    the message slab; resolution is 1/127 of each column's max, a lossy
+    fast mode for bandwidth-bound wide-feature regimes (the gather is
+    transaction-bound below ~2 KB rows, so expect wins at F >= 1024,
+    not at F = 512 — see BENCHMARKS.md).
     """
+    if precision == 'int8':
+        if x.dtype == jnp.int8:
+            # Already quantised by the caller (e.g. the sharded path,
+            # which quantises once for all row splits): reduce the raw
+            # int8 values; the caller owns dequantisation.
+            xq, scale = x, None
+        else:
+            xq, scale = quantize_columns(x)
+        msgs = jnp.take(xq, plan.col_padded, axis=0)
+        if x.shape[1] > 2048:
+            if plan.row_padded is None:
+                raise ValueError('spmm with F > 2048 needs a plan built '
+                                 'with_edge_maps=True (XLA fallback path)')
+            out = jnp.zeros((plan.num_rows, x.shape[1]), jnp.float32).at[
+                plan.row_padded].add(
+                    jnp.where(plan.valid_mask[:, None],
+                              msgs.astype(jnp.float32), 0.0), mode='drop')
+        else:
+            out = segment_sum_chunked(msgs, plan, interpret)
+        if scale is None:
+            return out  # raw f32 sums of int8 values
+        return (out * scale[None, :]).astype(x.dtype)
     xm = x.astype(jnp.bfloat16) if (precision == 'bf16'
                                     and x.dtype != jnp.bfloat16) else x
     msgs = jnp.take(xm, plan.col_padded, axis=0)

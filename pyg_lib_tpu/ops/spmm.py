@@ -67,7 +67,7 @@ def _build_range_plan(rowptr, col, num_cols: int, range_split: int,
     ns = -(-num_cols // range_split)
     row_of_edge = np.repeat(np.arange(num_rows, dtype=np.int64),
                             np.diff(rowptr).astype(np.int64))
-    plans, bounds = [], []
+    csrs, bounds = [], []
     for r in range(range_split):
         lo, hi = r * ns, min((r + 1) * ns, num_cols)
         if lo >= hi:
@@ -77,8 +77,28 @@ def _build_range_plan(rowptr, col, num_cols: int, range_split: int,
         cnt = np.bincount(row_of_edge[mask], minlength=num_rows)
         rp_r = np.zeros(num_rows + 1, np.int64)
         np.cumsum(cnt, out=rp_r[1:])
-        plans.append(build_spmm_plan(rp_r, col_r, chunk=chunk))
+        csrs.append((rp_r, col_r))
         bounds.append((int(lo), int(hi)))
+    # Pad every range to a common chunk count: all S kernel applications
+    # then share ONE compiled Mosaic kernel (shape-keyed compile cache)
+    # instead of S near-identical multi-minute remote compiles.
+    from pyg_lib_tpu.ops.pallas.spmm_chunked import TR, auto_chunk
+    if chunk == 'auto':
+        # Sized on the per-range CSRs (each ~1/S the full density).
+        chunk = max(auto_chunk(rp) for rp, _ in csrs)
+
+    def n_chunks(rp):
+        tb = np.minimum(
+            np.arange(num_rows // TR + (num_rows % TR > 0) + 1) * TR,
+            num_rows)
+        counts = rp[tb[1:]] - rp[tb[:-1]]
+        return int(np.maximum(-(-counts // chunk), 1).sum())
+
+    cmax = max(n_chunks(rp) for rp, _ in csrs)
+    plans = [
+        build_spmm_plan(rp, cl, chunk=chunk, pad_to_chunks=cmax)
+        for rp, cl in csrs
+    ]
     return RangeSpmmPlan(plans=tuple(plans), bounds=tuple(bounds),
                          num_rows=int(num_rows),
                          num_edges=int(col.shape[0]))
@@ -98,6 +118,11 @@ def _range_plan_apply(x, rp: RangeSpmmPlan, precision=None):
 
 
 def _plan_apply_any(x, plan, precision=None):
+    from pyg_lib_tpu.ops.pallas.spmm_range_fused import (FusedRangePlan,
+                                                         fused_range_apply)
+
+    if isinstance(plan, FusedRangePlan):
+        return fused_range_apply(x, plan, precision=precision)
     if isinstance(plan, RangeSpmmPlan):
         return _range_plan_apply(x, plan, precision=precision)
     return spmm_plan_apply(x, plan, precision=precision)
@@ -123,36 +148,58 @@ def _transpose_csr(rowptr, col, num_cols):
     return t_ptr, t_col
 
 
-def build_spmm_graph(rowptr, col, chunk: int = 512,
+def build_spmm_graph(rowptr, col, chunk=512,
                      with_edge_maps: bool = False,
                      num_cols: int = None,
-                     range_split: int = 1) -> SpmmGraph:
+                     range_split: int = 1,
+                     range_fused: bool = False) -> SpmmGraph:
     """Host-side, one-time: build fwd and transpose SpMM plans.
 
     ``with_edge_maps=True`` equips the forward plan for the padded-space
     primitives (:func:`segment_sum_padded` / :func:`segment_softmax_padded`).
     ``num_cols`` is the source-node count for rectangular (bipartite)
     adjacencies — it sizes the transpose plan so gradients match ``x``;
-    defaults to the row count (square adjacency).
+    defaults to the row count (square adjacency). ``chunk='auto'`` sizes
+    the chunk from the degree distribution (``pallas.auto_chunk``).
 
     ``range_split=S`` (S > 1) builds :class:`RangeSpmmPlan` schedules that
     gather from S static table slices instead of the full feature table —
     faster when the table exceeds ~150 MB (sum/mean reduces only; see
     RangeSpmmPlan). Incompatible with ``with_edge_maps``.
+    ``range_fused=True`` upgrades them to the fused multi-range kernel
+    (``pallas.spmm_range_fused``): same cheap slice gathers, but one
+    kernel pass writes the output once instead of summing S partials.
     """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
     num_rows = rowptr.shape[0] - 1
     if num_cols is None:
         num_cols = num_rows
+    if chunk == 'auto' and range_split == 1:
+        from pyg_lib_tpu.ops.pallas.spmm_chunked import auto_chunk
+        chunk = auto_chunk(rowptr)
     if range_split > 1:
         if with_edge_maps:
             raise ValueError('range_split is incompatible with '
                              'with_edge_maps (padded-space ops need the '
                              'single-plan edge layout)')
-        fwd = _build_range_plan(rowptr, col, num_cols, range_split, chunk)
-        t_ptr, t_col = _transpose_csr(rowptr, col, num_cols)
-        bwd = _build_range_plan(t_ptr, t_col, num_rows, range_split, chunk)
+        if range_fused:
+            from pyg_lib_tpu.ops.pallas.spmm_range_fused import (
+                build_fused_range_plan, )
+            if chunk == 'auto':
+                from pyg_lib_tpu.ops.pallas.spmm_chunked import auto_chunk
+                chunk = auto_chunk(rowptr)
+            fwd = build_fused_range_plan(rowptr, col, num_cols,
+                                         range_split, chunk)
+            t_ptr, t_col = _transpose_csr(rowptr, col, num_cols)
+            bwd = build_fused_range_plan(t_ptr, t_col, num_rows,
+                                         range_split, chunk)
+        else:
+            fwd = _build_range_plan(rowptr, col, num_cols, range_split,
+                                    chunk)
+            t_ptr, t_col = _transpose_csr(rowptr, col, num_cols)
+            bwd = _build_range_plan(t_ptr, t_col, num_rows, range_split,
+                                    chunk)
         deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
         return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg)
     fwd = build_spmm_plan(rowptr, col, chunk=chunk,
@@ -208,15 +255,21 @@ def spmm(x: jax.Array, graph: SpmmGraph, reduce: str = 'sum',
     contract — halving the materialised-slab traffic. The step stays
     gather-transaction-bound, so the measured gain is ~10% at F=512 on
     v5e (49.7 vs 55 ms/iter on the 4.2M-edge bench graph) plus half the
-    slab memory. Applies to 'sum'/'add'/'mean' and their gradients.
+    slab memory. ``precision='int8'`` quantises the gathered table with
+    one round-to-nearest scale per feature column (resolution 1/127 of
+    the column max) and streams int8 messages — quarter traffic, for
+    wide-feature (F >= 1024) bandwidth-bound regimes; see
+    ``spmm_plan_apply``. All modes apply to 'sum'/'add'/'mean' and their
+    gradients (the backward streams gradient messages through the same
+    mode, so 'int8' also quantises the cotangent per column).
     """
-    if precision not in (None, 'highest', 'bf16'):
-        raise ValueError(f"spmm precision must be None, 'highest' or "
-                         f"'bf16', got {precision!r}")
+    if precision not in (None, 'highest', 'bf16', 'int8'):
+        raise ValueError(f"spmm precision must be None, 'highest', "
+                         f"'bf16' or 'int8', got {precision!r}")
     if precision == 'highest':
         precision = None
     if reduce in ('max', 'min'):
-        if isinstance(graph.fwd, RangeSpmmPlan):
+        if not isinstance(graph.fwd, SpmmPlan):
             raise ValueError(
                 "spmm reduce='max'/'min' needs a single-plan graph; "
                 'build without range_split (min/max gathers once and is '
@@ -311,7 +364,7 @@ def sddmm(x: jax.Array, y: jax.Array, graph: SpmmGraph) -> jax.Array:
     fuses into them. Differentiable via plain JAX AD.
     """
     plan = graph.fwd
-    if isinstance(plan, RangeSpmmPlan) or plan.row_padded is None:
+    if not isinstance(plan, SpmmPlan) or plan.row_padded is None:
         raise ValueError('sddmm needs build_spmm_graph(with_edge_maps=True)')
     xs = jnp.take(x, plan.row_padded, axis=0)
     ys = jnp.take(y, plan.col_padded, axis=0)
@@ -519,32 +572,56 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
                             num_cols=num_cols)
 
 
-def _sharded_apply(x, plans, num_rows=None):
+def _sharded_apply(x, plans, num_rows=None, precision=None):
+    scale = None
+    if precision == 'int8' and x.dtype != jnp.int8:
+        # Quantise ONCE for all row splits (every split gathers from the
+        # same full table, so the per-column scales are shared).
+        from pyg_lib_tpu.ops.pallas.spmm_chunked import quantize_columns
+        xq, scale = quantize_columns(x)
+        dtype = x.dtype
+        x = xq
     outs = []
     for p in plans:
-        outs.append(spmm_plan_apply(x, p))
+        outs.append(spmm_plan_apply(x, p, precision=precision))
     out = jnp.concatenate(outs, axis=0)
+    if scale is not None:
+        out = (out * scale[None, :]).astype(dtype)
     # Uniform splits pad the last split with empty rows; trim.
     return out if num_rows is None else out[:num_rows]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, ))
-def _spmm_sharded_sum(x, graph: ShardedSpmmGraph):
-    return _sharded_apply(x, graph.fwd, graph.num_rows)
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _spmm_sharded_sum(x, graph: ShardedSpmmGraph,
+                      precision: Optional[str] = None):
+    return _sharded_apply(x, graph.fwd, graph.num_rows, precision)
 
 
 _spmm_sharded_sum.defvjp(
-    lambda x, graph: (_sharded_apply(x, graph.fwd, graph.num_rows), None),
-    lambda graph, _, g: (_sharded_apply(g, graph.bwd, graph.num_cols), ))
+    lambda x, graph, precision:
+    (_sharded_apply(x, graph.fwd, graph.num_rows, precision), None),
+    lambda graph, precision, _, g:
+    (_sharded_apply(g, graph.bwd, graph.num_cols, precision), ))
 
 
 def spmm_sharded(x: jax.Array, graph: ShardedSpmmGraph,
-                 reduce: str = 'sum') -> jax.Array:
-    """:func:`spmm` over a :class:`ShardedSpmmGraph` (huge-graph variant)."""
+                 reduce: str = 'sum',
+                 precision: Optional[str] = None) -> jax.Array:
+    """:func:`spmm` over a :class:`ShardedSpmmGraph` (huge-graph variant).
+
+    ``precision`` matches :func:`spmm` (None / 'highest' / 'bf16' /
+    'int8'); with 'int8', each row split quantises against the same full
+    table so per-column scales are identical across splits.
+    """
     if reduce not in ('sum', 'add', 'mean'):
         raise ValueError(
             f"spmm reduce must be 'sum', 'add' or 'mean', got {reduce!r}")
-    out = _spmm_sharded_sum(x, graph)
+    if precision not in (None, 'highest', 'bf16', 'int8'):
+        raise ValueError(f"spmm precision must be None, 'highest', "
+                         f"'bf16' or 'int8', got {precision!r}")
+    if precision == 'highest':
+        precision = None
+    out = _spmm_sharded_sum(x, graph, precision)
     if reduce == 'mean':
         d = jnp.maximum(graph.deg, 1.0).astype(out.dtype)
         out = out / d[:, None]

@@ -2,46 +2,98 @@
 
 Data-parallel over the batch axis (each device gets a slice of the padded
 mini-batches), parameters replicated (optionally tensor-sharded on the
-'model' axis via sharding constraints).  Gradients are averaged by XLA's
-automatic collectives under ``jit`` with sharded inputs — no hand-written
-psum needed (the compiler inserts reduce-scatter/all-reduce over ICI).
+'model' axis via ``param_spec`` or caller-side constraints). Gradients
+are averaged by XLA's automatic collectives under ``jit`` with sharded
+inputs — no hand-written psum needed (the compiler inserts
+reduce-scatter/all-reduce over ICI).
+
+The reference has no training layer (it is a kernel library; SURVEY.md
+§2.5); this provides the TPU-native memory/throughput levers a
+production loop needs on 16 GB chips:
+
+* **gradient accumulation** (``accum_steps``) — a ``lax.scan`` over
+  microbatches inside one compiled step, trading wall time for
+  activation memory so sampled batches can exceed what one backward
+  pass fits;
+* **rematerialisation** (``remat=True``) — ``jax.checkpoint`` around
+  the loss, re-computing activations in the backward instead of
+  storing them (pairs with the sharded 31M-edge plans, DESIGN.md §8);
+* **buffer donation** (``donate=True``) — params/opt-state buffers are
+  donated to the step so XLA updates them in place instead of holding
+  old+new copies live.
 """
 
-from functools import partial
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding
 
 __all__ = ['make_train_step']
 
 
-def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
-                    mesh: Mesh, batch_spec=None):
+def make_train_step(loss_fn: Callable,
+                    optimizer: optax.GradientTransformation,
+                    mesh: Mesh,
+                    batch_spec=None,
+                    *,
+                    param_spec=None,
+                    accum_steps: int = 1,
+                    remat: bool = False,
+                    donate: bool = True):
     """Builds a jitted ``(params, opt_state, batch) -> (params, opt_state,
     loss)`` step.
 
     ``loss_fn(params, batch) -> scalar`` must consume one device-shard of
     the batch pytree when sharded; with ``batch_spec`` given, each leaf of
     ``batch`` is sharded accordingly (e.g. ``P('data')`` on the leading
-    axis) and XLA inserts the gradient all-reduce.
+    axis) and XLA inserts the gradient all-reduce. ``param_spec``
+    optionally pins parameter (and opt-state) sharding, e.g.
+    ``P('model')`` for tensor-sharded weights.
+
+    With ``accum_steps > 1`` every leaf of ``batch`` must carry a leading
+    ``[accum_steps, ...]`` microbatch axis — keep it unsharded by
+    prepending ``None`` to your spec (e.g. ``P(None, 'data')``). The step
+    scans the microbatches, averages their gradients and losses, and
+    applies ONE optimizer update — numerically the mean-loss step over
+    the concatenated batch, at one microbatch's activation footprint.
     """
+    if accum_steps < 1:
+        raise ValueError(f'accum_steps must be >= 1, got {accum_steps}')
+    lfn = jax.checkpoint(loss_fn) if remat else loss_fn
 
     def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(lfn)(params, batch)
+        else:
+            zeros = jax.tree.map(
+                lambda p: jax.numpy.zeros(p.shape, p.dtype), params)
+
+            def micro(carry, mb):
+                loss_acc, grads_acc = carry
+                loss, grads = jax.value_and_grad(lfn)(params, mb)
+                return (loss_acc + loss,
+                        jax.tree.map(jax.numpy.add, grads_acc, grads)), None
+
+            (loss, grads), _ = jax.lax.scan(micro, (0.0, zeros), batch)
+            inv = 1.0 / accum_steps
+            loss = loss * inv
+            grads = jax.tree.map(lambda g: g * inv, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    if batch_spec is not None:
-        # A single sharding for a pytree argument broadcasts to all leaves;
-        # None leaves params/opt_state shardings to follow their arguments
-        # (they may be tensor-sharded on the 'model' axis by the caller).
-        step = jax.jit(
-            step,
-            in_shardings=(None, None, NamedSharding(mesh, batch_spec)))
-    else:
-        step = jax.jit(step)
-    return step
+    def shard(spec):
+        return None if spec is None else NamedSharding(mesh, spec)
+
+    kwargs = {}
+    if batch_spec is not None or param_spec is not None:
+        # A single sharding for a pytree argument broadcasts to all
+        # leaves; None leaves a sharding to follow the argument. The
+        # opt state always follows its argument (it mixes per-param
+        # moments with scalar counters a broadcast spec cannot fit).
+        kwargs['in_shardings'] = (shard(param_spec), None,
+                                  shard(batch_spec))
+    if donate:
+        kwargs['donate_argnums'] = (0, 1)
+    return jax.jit(step, **kwargs)

@@ -210,7 +210,7 @@ def collective_feature_fetch(mesh, x_sharded, ids, axis: str = 'data'):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local(x_shard, ids):
         p = jax.lax.axis_index(axis)

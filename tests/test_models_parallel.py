@@ -188,3 +188,62 @@ def test_rgcn_planned_matches_per_relation_spmm():
             params)
     flat, _ = jax.tree.flatten(g)
     assert all(bool(jnp.isfinite(x).all()) for x in flat)
+
+
+def test_train_step_accum_matches_big_batch():
+    """accum_steps=K over K microbatches == one mean-loss step over the
+    concatenated batch (same update, same loss)."""
+    import optax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from pyg_lib_tpu.parallel import make_train_step
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ('data', ))
+    rng = np.random.default_rng(0)
+    w = {'w': jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))}
+    xs = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+    ys = jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32))
+
+    def loss_fn(params, batch):
+        x, y = batch
+        return jnp.mean((x @ params['w'] - y)**2)
+
+    opt = optax.sgd(0.1)
+
+    big = make_train_step(loss_fn, opt, mesh, batch_spec=P('data'),
+                          donate=False)
+    acc = make_train_step(loss_fn, opt, mesh,
+                          batch_spec=P(None, 'data'), accum_steps=4,
+                          remat=True, donate=False)
+
+    st = opt.init(w)
+    p1, _, l1 = big(w, st, (xs, ys))
+    p2, _, l2 = acc(w, st, (xs.reshape(4, 8, 16), ys.reshape(4, 8, 4)))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1['w']), np.asarray(p2['w']),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_train_step_param_spec_and_donate():
+    import optax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from pyg_lib_tpu.parallel import make_train_step
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ('model', ))
+    rng = np.random.default_rng(1)
+    w = {'w': jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))}
+
+    def loss_fn(params, batch):
+        return jnp.mean((batch @ params['w'])**2)
+
+    opt = optax.adam(1e-2)
+    step = make_train_step(loss_fn, opt, mesh, param_spec=P(None, 'model'))
+    st = opt.init(w)
+    x = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    p, st, loss = step(w, st, x)
+    assert np.isfinite(float(loss))
+    # Donated + param_spec: updated params keep the requested sharding.
+    assert p['w'].sharding.spec == P(None, 'model')
+    with pytest.raises(ValueError, match='accum_steps'):
+        make_train_step(loss_fn, opt, mesh, accum_steps=0)

@@ -333,3 +333,168 @@ def test_spmm_range_split_rejects_minmax_and_edge_maps():
                              with_edge_maps=True)
     with pytest.raises(ValueError, match='edge_maps'):
         ops.sddmm(x, x, graph)
+
+
+def test_spmm_int8_exact_on_integer_features():
+    """Integer features with maxabs 127 per column quantise losslessly:
+    scale = 1, so the int8 path must reproduce the exact sum."""
+    rng = np.random.default_rng(12)
+    rowptr, col = _random_csr(rng, 200, 3000)
+    x = rng.integers(-127, 128, size=(200, 64)).astype(np.float32)
+    x[0, :] = 127  # pin every column's maxabs to exactly 127
+    graph = ops.build_spmm_graph(rowptr, col, chunk=128)
+    out = ops.spmm(jnp.asarray(x), graph, precision='int8')
+    ref = _spmm_ref(x, rowptr, col, 'sum')
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+@pytest.mark.parametrize('reduce', ['sum', 'mean'])
+def test_spmm_int8_error_bounded_by_column_scale(reduce):
+    rng = np.random.default_rng(13)
+    rowptr, col = _random_csr(rng, 200, 3000)
+    x = rng.normal(size=(200, 32)).astype(np.float32)
+    graph = ops.build_spmm_graph(rowptr, col, chunk=128)
+    out = np.asarray(ops.spmm(jnp.asarray(x), graph, reduce=reduce,
+                              precision='int8'))
+    ref = _spmm_ref(x, rowptr, col, reduce)
+    # Each message's rounding error is <= scale/2 per column; a row sums
+    # at most deg_max of them (mean divides both sides by deg).
+    scale = np.abs(x).max(axis=0) / 127.0
+    deg_max = np.diff(rowptr).max()
+    bound = (scale * (deg_max if reduce == 'sum' else 1.0) / 2.0)[None, :]
+    assert np.all(np.abs(out - ref) <= bound + 1e-6)
+
+
+def test_spmm_int8_grad_and_range_split():
+    rng = np.random.default_rng(14)
+    rowptr, col = _random_csr(rng, 150, 2000)
+    x = jnp.asarray(rng.normal(size=(150, 16)).astype(np.float32))
+    g1 = ops.build_spmm_graph(rowptr, col, chunk=128)
+    g4 = ops.build_spmm_graph(rowptr, col, chunk=128, range_split=4)
+
+    @jax.jit
+    def step(v, graph=g4):
+        return ops.spmm(v, graph, precision='int8')
+
+    ref = _spmm_ref(np.asarray(x), rowptr, col, 'sum')
+    scale = np.abs(np.asarray(x)).max(axis=0) / 127.0
+    bound = scale[None, :] * np.diff(rowptr).max()
+    assert np.all(np.abs(np.asarray(step(x)) - ref) <= bound + 1e-6)
+    # Backward streams the cotangent through the same quantised mode;
+    # with an exactly-quantisable cotangent it matches the f32 gradient.
+    gexact = jax.grad(lambda v: ops.spmm(v, g1).sum())(x)
+    gq = jax.grad(lambda v: ops.spmm(v, g1, precision='int8').sum())(x)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gexact),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_spmm_rejects_unknown_precision():
+    rng = np.random.default_rng(15)
+    rowptr, col = _random_csr(rng, 50, 400)
+    graph = ops.build_spmm_graph(rowptr, col, chunk=128)
+    with pytest.raises(ValueError, match='precision'):
+        ops.spmm(jnp.zeros((50, 8)), graph, precision='fp8')
+
+
+def test_auto_chunk_tracks_degree_distribution():
+    from pyg_lib_tpu.ops.pallas.spmm_chunked import auto_chunk
+
+    # Mean degree 16 -> ~2048 edges per 128-row tile: 512-chunks waste
+    # nothing, so the large candidate wins (the bench-validated choice).
+    n = 2048
+    rowptr = np.arange(n + 1, dtype=np.int64) * 16
+    assert auto_chunk(rowptr) == 512
+    # Mean degree 1 -> ~128 edges per tile: a 512-chunk pads 4x, the
+    # smallest candidate must win.
+    rowptr = np.arange(n + 1, dtype=np.int64)
+    assert auto_chunk(rowptr) == 128
+
+
+@pytest.mark.parametrize('split', [1, 4])
+def test_spmm_auto_chunk_end_to_end(split):
+    rng = np.random.default_rng(16)
+    rowptr, col = _random_csr(rng, 300, 900)  # sparse: auto picks small
+    x = rng.normal(size=(300, 32)).astype(np.float32)
+    graph = ops.build_spmm_graph(rowptr, col, chunk='auto',
+                                 range_split=split)
+    out = ops.spmm(jnp.asarray(x), graph)
+    ref = _spmm_ref(x, rowptr, col, 'sum')
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize('precision', ['bf16', 'int8'])
+def test_spmm_sharded_precision_modes(precision):
+    rng = np.random.default_rng(17)
+    rowptr, col = _random_csr(rng, 300, 4000)
+    x = rng.integers(-127, 128, size=(300, 32)).astype(np.float32)
+    x[0, :] = 127  # int8 quantises losslessly (scale == 1)
+    graph = ops.build_spmm_graph_sharded(rowptr, col, 3, chunk=128)
+    out = np.asarray(
+        ops.spmm_sharded(jnp.asarray(x), graph, precision=precision))
+    ref = _spmm_ref(x, rowptr, col, 'sum')
+    if precision == 'int8':
+        np.testing.assert_array_equal(out, ref)
+    else:
+        # bf16 messages: |x| <= 127 rounds within 0.5, rows sum few terms.
+        np.testing.assert_allclose(out, ref, atol=32.0, rtol=0.01)
+    grad = jax.grad(lambda a: ops.spmm_sharded(
+        a, graph, precision=precision).sum())(jnp.asarray(x))
+    assert grad.shape == x.shape
+
+
+@pytest.mark.parametrize('s', [2, 4])
+@pytest.mark.parametrize('reduce', ['sum', 'mean'])
+def test_spmm_range_fused_matches_reference(s, reduce):
+    rng = np.random.default_rng(18)
+    rowptr, col = _random_csr(rng, 300, 4000)
+    x = rng.normal(size=(300, 32)).astype(np.float32)
+    graph = ops.build_spmm_graph(rowptr, col, chunk=128, range_split=s,
+                                 range_fused=True)
+    out = ops.spmm(jnp.asarray(x), graph, reduce=reduce)
+    ref = _spmm_ref(x, rowptr, col, reduce)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
+    grad = jax.grad(lambda v: ops.spmm(v, graph, reduce=reduce).sum())(
+        jnp.asarray(x))
+    gref = jax.grad(lambda v: ops.spmm(
+        v, ops.build_spmm_graph(rowptr, col, chunk=128),
+        reduce=reduce).sum())(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(gref),
+                               atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize('precision', [None, 'bf16', 'int8'])
+def test_fused_range_kernel_interpret(precision):
+    """The Mosaic kernel itself (interpret mode) vs the numpy oracle."""
+    from pyg_lib_tpu.ops.pallas.spmm_range_fused import (
+        build_fused_range_plan, fused_range_apply)
+
+    rng = np.random.default_rng(19)
+    rowptr, col = _random_csr(rng, 260, 3000)
+    x = rng.integers(-127, 128, size=(260, 128)).astype(np.float32)
+    x[0, :] = 127  # every precision mode transports these exactly
+    plan = build_fused_range_plan(rowptr, col, 260, 3, chunk=128)
+    out = fused_range_apply(jnp.asarray(x), plan, precision=precision,
+                            interpret=True)
+    ref = _spmm_ref(x, rowptr, col, 'sum')
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_fused_range_kernel_interpret_skewed_tiles():
+    """Tiles where ranges have very different chunk counts exercise the
+    inactive-step masking (sentinel position base + block revisits)."""
+    from pyg_lib_tpu.ops.pallas.spmm_range_fused import (
+        build_fused_range_plan, fused_range_apply)
+
+    rng = np.random.default_rng(20)
+    n = 300
+    # All edges point into the first third of the node space: range 0
+    # is dense, ranges 1-2 are empty in every tile.
+    deg = rng.multinomial(2500, np.ones(n) / n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n // 3, size=2500).astype(np.int64)
+    x = rng.normal(size=(n, 32)).astype(np.float32)
+    plan = build_fused_range_plan(rowptr, col, n, 3, chunk=128)
+    out = fused_range_apply(jnp.asarray(x), plan, interpret=True)
+    ref = _spmm_ref(x, rowptr, col, 'sum')
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
