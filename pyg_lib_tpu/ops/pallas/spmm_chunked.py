@@ -82,11 +82,19 @@ class SpmmPlan(NamedTuple):
         return self.chunk_tile.shape[0]
 
 
-def _build_padded_layout(rowptr: np.ndarray, chunk: int):
+def _build_padded_layout(rowptr: np.ndarray, chunk: int,
+                         allow_empty_tiles: bool = False):
     """Pad each TR-row tile's edge span to a multiple of ``chunk``.
 
     Returns (orig, valid, chunk_tile, tile_ptr, shift); ``shift[t]`` maps
     padded position -> original edge id (orig = padded_pos - shift).
+
+    ``allow_empty_tiles=True`` gives edgeless tiles ZERO chunks instead
+    of one all-pad chunk. Such a plan is NOT valid for the single-plan
+    TPU kernel (a tile absent from ``chunk_tile`` never writes its
+    output block) — it is for the fused multi-range kernel, where
+    another range (or a forced masked step) covers the tile and skipping
+    the pad chunk skips its gather + stream traffic entirely.
     """
     num_rows = rowptr.shape[0] - 1
     num_tiles = max(-(-num_rows // TR), 1)
@@ -95,7 +103,9 @@ def _build_padded_layout(rowptr: np.ndarray, chunk: int):
     tile_lo = rowptr[tb[:-1]]
     tile_hi = rowptr[tb[1:]]
     counts = tile_hi - tile_lo
-    nchunks = np.maximum(-(-counts // chunk), 1)  # >=1 so every tile writes
+    nchunks = -(-counts // chunk)
+    if not allow_empty_tiles:
+        nchunks = np.maximum(nchunks, 1)  # >=1 so every tile writes
     padded_counts = nchunks * chunk
     padded_starts = np.zeros(num_tiles + 1, np.int64)
     np.cumsum(padded_counts, out=padded_starts[1:])
@@ -165,7 +175,8 @@ def auto_chunk(rowptr, candidates=(512, 256, 128),
 
 def build_spmm_plan(rowptr, col, chunk=512,
                     with_edge_maps: bool = False,
-                    pad_to_chunks: int = None) -> SpmmPlan:
+                    pad_to_chunks: int = None,
+                    allow_empty_tiles: bool = False) -> SpmmPlan:
     """Build the chunked schedule for ``out[r] = Σ x[col[e]]`` over CSR rows.
 
     One-time host preprocessing per graph (analogous to the reference
@@ -181,7 +192,7 @@ def build_spmm_plan(rowptr, col, chunk=512,
     if chunk == 'auto':
         chunk = auto_chunk(rowptr)
     orig, valid, chunk_tile, tile_ptr, shift = _build_padded_layout(
-        rowptr, chunk)
+        rowptr, chunk, allow_empty_tiles)
     if len(col):
         col_padded = np.where(valid, col[np.minimum(orig, len(col) - 1)],
                               0).astype(np.int32)

@@ -80,12 +80,22 @@ def build_fused_range_plan(rowptr, col, num_cols: int, range_split: int,
         if lo >= hi:
             break
         mask = (col >= lo) & (col < hi)
+        if not mask.any():
+            continue  # edgeless range: no slab, no kernel operand
         col_r = (col[mask] - lo).astype(np.int64)
         cnt = np.bincount(row_of_edge[mask], minlength=num_rows)
         rp_r = np.zeros(num_rows + 1, np.int64)
         np.cumsum(cnt, out=rp_r[1:])
-        plans.append(build_spmm_plan(rp_r, col_r, chunk=chunk))
+        # Compact layouts: a range with no edges in a tile gets ZERO
+        # chunks there (no gather, no stream traffic) — the fused
+        # schedule masks the step instead.
+        plans.append(build_spmm_plan(rp_r, col_r, chunk=chunk,
+                                     allow_empty_tiles=True))
         bounds.append((int(lo), int(hi)))
+    if not plans:
+        # Edgeless graph: one ordinary (floored) plan covers everything.
+        plans.append(build_spmm_plan(rowptr, col, chunk=chunk))
+        bounds.append((0, int(num_cols)))
     s_eff = len(plans)
 
     # Per (tile, range) chunk counts from each plan's chunk->tile list
@@ -98,7 +108,9 @@ def build_fused_range_plan(rowptr, col, num_cols: int, range_split: int,
         per_tile[r] = np.bincount(ct, minlength=num_tiles)
         offs[r, 1:] = np.cumsum(per_tile[r])[:-1]
 
-    k_t = per_tile.max(axis=0)  # >=1: every plan has >=1 chunk per tile
+    # Every tile needs >=1 step so its output block is written (a fully
+    # empty tile gets one all-masked step that zeroes it).
+    k_t = np.maximum(per_tile.max(axis=0), 1)
     n_steps = int(k_t.sum())
     step_tile = np.repeat(np.arange(num_tiles, dtype=np.int32), k_t)
     k_in_tile = (np.arange(n_steps, dtype=np.int64) -
@@ -108,8 +120,12 @@ def build_fused_range_plan(rowptr, col, num_cols: int, range_split: int,
     posb = np.empty((s_eff, n_steps), np.int32)
     for r in range(s_eff):
         active = k_in_tile < per_tile[r, t_of_step]
-        blk = offs[r, t_of_step] + np.minimum(
-            k_in_tile, per_tile[r, t_of_step] - 1)
+        # Inactive steps carry the previous block (offs-1 for a tile
+        # with no chunks in this range) so consecutive revisits skip
+        # the DMA; clamp covers steps before the range's first chunk.
+        blk = np.maximum(
+            offs[r, t_of_step] + np.minimum(k_in_tile,
+                                            per_tile[r, t_of_step] - 1), 0)
         blocks[r] = blk.astype(np.int32)
         posb[r] = np.where(active, blk * chunk, _INACTIVE).astype(np.int32)
 
@@ -234,17 +250,30 @@ def fused_range_apply(x: jax.Array, plan: FusedRangePlan,
     slab_vmem = s_eff * 2 * plan.chunk * f * itemsize
     use_kernel = (jax.default_backend() == 'tpu'
                   if interpret is None else True)
-    if not use_kernel or slab_vmem > _VMEM_BUDGET_BYTES:
+    if use_kernel and slab_vmem > _VMEM_BUDGET_BYTES:
+        # The compact per-range layouts are only valid inside the fused
+        # kernel (empty tiles write no block), so there is no TPU
+        # fallback once the S double-buffered slabs exceed VMEM.
+        raise ValueError(
+            f'fused range plan needs {slab_vmem} B of VMEM for '
+            f'{s_eff} double-buffered ({plan.chunk}, {f}) slabs '
+            f'(budget {_VMEM_BUDGET_BYTES}); rebuild with a smaller '
+            f'chunk / range_split, or use range_fused=False')
+    if not use_kernel:
         # Non-TPU backends (and F too wide for S double-buffered slabs):
-        # per-range partial sums — bitwise the same result.
+        # per-range partial sums, accumulated in f32 like the kernel.
+        # int8 slices the pre-quantised table (global column scales);
+        # bf16 slices the original so each partial comes back f32.
+        src = xm if scale is not None else x
+        sub_prec = 'int8' if scale is not None else precision
         out = None
         for (lo, hi), p in zip(plan.bounds, plan.plans):
-            xr = jax.lax.slice_in_dim(xm, lo, hi, axis=0)
-            o = spmm_plan_apply(
-                xr, p, precision='int8' if scale is not None else None)
+            xr = jax.lax.slice_in_dim(src, lo, hi, axis=0)
+            o = spmm_plan_apply(xr, p, precision=sub_prec)
+            o = o.astype(jnp.float32)
             out = o if out is None else out + o
         if scale is not None:
-            out = (out * scale[None, :]).astype(x.dtype)
+            out = out * scale[None, :]
         return out.astype(x.dtype)
 
     slabs, ptrs = [], []

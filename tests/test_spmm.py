@@ -498,3 +498,51 @@ def test_fused_range_kernel_interpret_skewed_tiles():
     out = fused_range_apply(jnp.asarray(x), plan, interpret=True)
     ref = _spmm_ref(x, rowptr, col, 'sum')
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
+
+
+def test_fused_range_compact_layout_and_empty_graph():
+    """Compact per-range layouts: empty (tile, range) pairs get zero
+    chunks; edgeless ranges are dropped; an edgeless graph still works."""
+    from pyg_lib_tpu.ops.pallas.spmm_range_fused import (
+        build_fused_range_plan, fused_range_apply)
+
+    rng = np.random.default_rng(21)
+    n = 300
+    # Rows 0..149 draw only from range 0, rows 150..299 only from the
+    # top of the node space: each range is empty in half the tiles.
+    deg = rng.multinomial(2000, np.ones(n) / n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = np.where(
+        np.repeat(np.arange(n), deg) < 150,
+        rng.integers(0, 100, size=2000),
+        rng.integers(200, 300, size=2000)).astype(np.int64)
+    x = rng.normal(size=(n, 32)).astype(np.float32)
+    plan = build_fused_range_plan(rowptr, col, n, 3, chunk=128)
+    assert len(plan.plans) == 2  # middle range has no edges -> dropped
+    # Compact: a range absent from a tile contributes ZERO chunks there
+    # (range 0 feeds only rows < 150 -> no tile-2 chunks; the top range
+    # feeds only rows >= 150 -> no tile-0 chunks).
+    assert 2 not in np.asarray(plan.plans[0].chunk_tile)
+    assert 0 not in np.asarray(plan.plans[1].chunk_tile)
+    out = fused_range_apply(jnp.asarray(x), plan, interpret=True)
+    ref = _spmm_ref(x, rowptr, col, 'sum')
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
+
+    # Edgeless graph
+    plan0 = build_fused_range_plan(np.zeros(n + 1, np.int64),
+                                   np.zeros(0, np.int64), n, 4, chunk=128)
+    out0 = fused_range_apply(jnp.asarray(x), plan0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out0), np.zeros((n, 32)))
+
+
+def test_fused_range_vmem_guard():
+    from pyg_lib_tpu.ops.pallas.spmm_range_fused import (
+        build_fused_range_plan, fused_range_apply)
+
+    rng = np.random.default_rng(22)
+    rowptr, col = _random_csr(rng, 128, 1000)
+    plan = build_fused_range_plan(rowptr, col, 128, 2, chunk=512)
+    x = jnp.zeros((128, 4096), jnp.float32)
+    with pytest.raises(ValueError, match='VMEM'):
+        fused_range_apply(x, plan, interpret=True)
