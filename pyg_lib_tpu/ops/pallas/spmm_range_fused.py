@@ -60,6 +60,9 @@ class FusedRangePlan(NamedTuple):
     step_tile: jax.Array  # [NS] int32 — output tile of each step
     blocks: jax.Array  # [S, NS] int32 — slab block per range per step
     posb: jax.Array  # [S, NS] int32 — block*chunk, or _INACTIVE
+    tile_ptrs: jax.Array  # [T, S8, TP] int32 — per-range padded rowptr
+    # rows stacked on the sublane axis (S padded up to a multiple of 8),
+    # ONE operand instead of S PTR_SUB-replicated tables (8/S x smaller).
     num_rows: int
     num_edges: int
     chunk: int
@@ -129,22 +132,27 @@ def build_fused_range_plan(rowptr, col, num_cols: int, range_split: int,
         blocks[r] = blk.astype(np.int32)
         posb[r] = np.where(active, blk * chunk, _INACTIVE).astype(np.int32)
 
+    s8 = -(-s_eff // PTR_SUB) * PTR_SUB
+    tile_ptrs = np.zeros((num_tiles, s8, TP), np.int32)
+    for r, p in enumerate(plans):
+        tile_ptrs[:, r, :] = np.asarray(jax.device_get(p.tile_ptr))[:, 0, :]
+
     return FusedRangePlan(
         plans=tuple(plans),
         bounds=tuple(bounds),
         step_tile=jnp.asarray(step_tile),
         blocks=jnp.asarray(blocks),
         posb=jnp.asarray(posb),
+        tile_ptrs=jnp.asarray(tile_ptrs),
         num_rows=int(num_rows),
         num_edges=int(col.shape[0]),
         chunk=int(chunk),
     )
 
 
-def _fused_kernel(s_eff, st_ref, bl_ref, pb_ref, *refs):
-    ptr_refs = refs[:s_eff]
-    msgs_refs = refs[s_eff:2 * s_eff]
-    out_ref = refs[2 * s_eff]
+def _fused_kernel(s_eff, st_ref, bl_ref, pb_ref, ptr_ref, *refs):
+    msgs_refs = refs[:s_eff]
+    out_ref = refs[s_eff]
     s = pl.program_id(0)
     chunk = msgs_refs[0].shape[0]
 
@@ -155,7 +163,7 @@ def _fused_kernel(s_eff, st_ref, bl_ref, pb_ref, *refs):
     dims = (((0, ), (0, )), ((), ()))
     contrib = None
     for r in range(s_eff):
-        bounds = ptr_refs[r][0][0:1, :]  # [1, TP]
+        bounds = ptr_ref[0][r:r + 1, :]  # [1, TP]
         lo = bounds[:, :TR]
         hi = bounds[:, 1:TR + 1]
         pos = pb_ref[r, s] + jax.lax.broadcasted_iota(
@@ -184,14 +192,14 @@ def _fused_kernel(s_eff, st_ref, bl_ref, pb_ref, *refs):
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 8))
 def _fused_call(s_eff: int, num_rows: int, chunk: int, step_tile, blocks,
-                posb, ptrs, slabs, interpret: bool = False):
+                posb, tile_ptrs, slabs, interpret: bool = False):
     n_steps = step_tile.shape[0]
     f = slabs[0].shape[1]
-    num_tiles = ptrs[0].shape[0]
+    num_tiles = tile_ptrs.shape[0]
+    s8 = tile_ptrs.shape[1]
     r_pad = num_tiles * TR
 
-    def ptr_spec(r):
-        return pl.BlockSpec((1, PTR_SUB, TP),
+    ptr_spec = pl.BlockSpec((1, s8, TP),
                             lambda s, st, bl, pb: (st[s], 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -203,8 +211,7 @@ def _fused_call(s_eff: int, num_rows: int, chunk: int, step_tile, blocks,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_steps, ),
-        in_specs=[ptr_spec(r) for r in range(s_eff)] +
-        [msgs_spec(r) for r in range(s_eff)],
+        in_specs=[ptr_spec] + [msgs_spec(r) for r in range(s_eff)],
         out_specs=pl.BlockSpec((TR, f), lambda s, st, bl, pb: (st[s], 0),
                                memory_space=pltpu.VMEM),
     )
@@ -222,7 +229,7 @@ def _fused_call(s_eff: int, num_rows: int, chunk: int, step_tile, blocks,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(step_tile, blocks, posb, *ptrs, *slabs)
+    )(step_tile, blocks, posb, tile_ptrs, *slabs)
     return out[:num_rows]
 
 
@@ -276,7 +283,7 @@ def fused_range_apply(x: jax.Array, plan: FusedRangePlan,
             out = out * scale[None, :]
         return out.astype(x.dtype)
 
-    slabs, ptrs = [], []
+    slabs = []
     for (lo, hi), p in zip(plan.bounds, plan.plans):
         # The barrier keeps each slice a real (small) gather operand —
         # fused away, the access pattern is back on the full table and
@@ -284,9 +291,8 @@ def fused_range_apply(x: jax.Array, plan: FusedRangePlan,
         xr = jax.lax.optimization_barrier(
             jax.lax.slice_in_dim(xm, lo, hi, axis=0))
         slabs.append(jnp.take(xr, p.col_padded, axis=0))
-        ptrs.append(p.tile_ptr)
     out = _fused_call(s_eff, plan.num_rows, plan.chunk, plan.step_tile,
-                      plan.blocks, plan.posb, tuple(ptrs), tuple(slabs),
+                      plan.blocks, plan.posb, plan.tile_ptrs, tuple(slabs),
                       bool(interpret))
     if scale is not None:
         out = out * scale[None, :]
