@@ -53,34 +53,42 @@ def main():
     iters = 16
     useful = e_actual * f * 4 + e_actual * 4 + n * f * 4
 
-    splits = [int(s) for s in os.environ.get(
-        'PYGT_RANGE_SPLITS', '1,2,4').split(',')]
-    for s in splits:
-        t0 = time.time()
-        graph = ops.build_spmm_graph(rowptr, col, range_split=s)
-        build_s = time.time() - t0
+    # "S=4f" = 4 ranges through the FUSED multi-range kernel (one output
+    # write) vs "S=4" = separate per-range partial sums + final add.
+    configs = os.environ.get('PYGT_RANGE_SPLITS', '1,2,4,4f').split(',')
+    for cfg in configs:
+        try:
+            fused = cfg.endswith('f')
+            s = int(cfg.rstrip('f'))
+            t0 = time.time()
+            graph = ops.build_spmm_graph(rowptr, col, range_split=s,
+                                         range_fused=fused)
+            build_s = time.time() - t0
 
-        @jax.jit
-        def loop(x, graph=graph):
-            def body(_, x):
-                return ops.spmm(x, graph, precision='bf16') * 1e-6 + x
+            @jax.jit
+            def loop(x, graph=graph):
+                def body(_, x):
+                    return ops.spmm(x, graph, precision='bf16') * 1e-6 + x
 
-            return jax.lax.fori_loop(0, iters, body, x).sum()
+                return jax.lax.fori_loop(0, iters, body, x).sum()
 
-        t0 = time.time()
-        float(loop(x))
-        compile_s = time.time() - t0
-        t0 = time.perf_counter()
-        float(loop(x))
-        ms = max(time.perf_counter() - t0 - 0.030, 1e-6) / iters * 1e3
-        print(json.dumps({
-            'config': f'S={s} bf16',
-            'ms_per_iter': round(ms, 2),
-            'eff_gbps': round(useful / (ms * 1e-3) / 1e9, 1),
-            'plan_build_s': round(build_s, 1),
-            'compile_s': round(compile_s, 1),
-        }), flush=True)
-        del graph, loop
+            t0 = time.time()
+            float(loop(x))
+            compile_s = time.time() - t0
+            t0 = time.perf_counter()
+            float(loop(x))
+            ms = max(time.perf_counter() - t0 - 0.030, 1e-6) / iters * 1e3
+            print(json.dumps({
+                'config': f'S={cfg} bf16',
+                'ms_per_iter': round(ms, 2),
+                'eff_gbps': round(useful / (ms * 1e-3) / 1e9, 1),
+                'plan_build_s': round(build_s, 1),
+                'compile_s': round(compile_s, 1),
+            }), flush=True)
+            del graph, loop
+        except Exception as exc:  # keep measuring the other configs
+            print(json.dumps({'config': f'S={cfg} bf16',
+                              'error': repr(exc)[:300]}), flush=True)
 
 
 if __name__ == '__main__':
