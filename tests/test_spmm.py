@@ -546,3 +546,37 @@ def test_fused_range_vmem_guard():
     x = jnp.zeros((128, 4096), jnp.float32)
     with pytest.raises(ValueError, match='VMEM'):
         fused_range_apply(x, plan, interpret=True)
+
+
+def test_fused_range_fuzz_interpret():
+    """Random (density, skew, S, chunk) sweeps through the fused kernel
+    in interpret mode vs the numpy oracle — exercises block-carry,
+    masking and per-tile K() across irregular shapes."""
+    from pyg_lib_tpu.ops.pallas.spmm_range_fused import (
+        build_fused_range_plan, fused_range_apply)
+
+    rng = np.random.default_rng(23)
+    for case in range(8):
+        n = int(rng.integers(40, 520))
+        e = int(rng.integers(0, 6 * n))
+        s = int(rng.integers(2, 6))
+        chunk = int(rng.choice([128, 256]))
+        # Skewed rows AND skewed columns half the time.
+        if case % 2:
+            p = rng.pareto(1.5, size=n) + 1e-3
+            deg = rng.multinomial(e, p / p.sum())
+            cols_pool = rng.integers(0, max(n // 4, 1), size=max(e, 1))
+        else:
+            deg = rng.multinomial(e, np.ones(n) / n)
+            cols_pool = rng.integers(0, n, size=max(e, 1))
+        rowptr = np.zeros(n + 1, np.int64)
+        rowptr[1:] = np.cumsum(deg)
+        col = cols_pool[:e].astype(np.int64)
+        x = rng.normal(size=(n, 32)).astype(np.float32)
+
+        plan = build_fused_range_plan(rowptr, col, n, s, chunk=chunk)
+        out = fused_range_apply(jnp.asarray(x), plan, interpret=True)
+        ref = _spmm_ref(x, rowptr, col, 'sum')
+        np.testing.assert_allclose(
+            np.asarray(out), ref, atol=2e-3, rtol=2e-3,
+            err_msg=f'case {case}: n={n} e={e} s={s} chunk={chunk}')
