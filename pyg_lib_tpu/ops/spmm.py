@@ -59,10 +59,8 @@ class RangeSpmmPlan(NamedTuple):
     num_edges: int
 
 
-def _build_range_plan(rowptr, col, num_cols: int, range_split: int,
-                      chunk: int) -> RangeSpmmPlan:
-    from pyg_lib_tpu.ops.pallas.spmm_chunked import build_spmm_plan
-
+def _range_csrs(rowptr, col, num_cols: int, range_split: int):
+    """Split a CSR into per-column-range CSRs (rebased cols)."""
     num_rows = rowptr.shape[0] - 1
     ns = -(-num_cols // range_split)
     row_of_edge = np.repeat(np.arange(num_rows, dtype=np.int64),
@@ -79,22 +77,36 @@ def _build_range_plan(rowptr, col, num_cols: int, range_split: int,
         np.cumsum(cnt, out=rp_r[1:])
         csrs.append((rp_r, col_r))
         bounds.append((int(lo), int(hi)))
-    # Pad every range to a common chunk count: all S kernel applications
-    # then share ONE compiled Mosaic kernel (shape-keyed compile cache)
-    # instead of S near-identical multi-minute remote compiles.
-    from pyg_lib_tpu.ops.pallas.spmm_chunked import TR, auto_chunk
+    return csrs, bounds
+
+
+def _plan_chunks(rp, chunk: int) -> int:
+    """Chunk count the (floored) padded layout will produce for ``rp``."""
+    from pyg_lib_tpu.ops.pallas.spmm_chunked import TR
+
+    num_rows = rp.shape[0] - 1
+    tb = np.minimum(
+        np.arange(num_rows // TR + (num_rows % TR > 0) + 1) * TR, num_rows)
+    counts = rp[tb[1:]] - rp[tb[:-1]]
+    return int(np.maximum(-(-counts // chunk), 1).sum())
+
+
+def _build_range_plan(rowptr, col, num_cols: int, range_split: int,
+                      chunk: int,
+                      pad_to_chunks: int = None) -> RangeSpmmPlan:
+    from pyg_lib_tpu.ops.pallas.spmm_chunked import auto_chunk, build_spmm_plan
+
+    num_rows = rowptr.shape[0] - 1
+    csrs, bounds = _range_csrs(rowptr, col, num_cols, range_split)
     if chunk == 'auto':
         # Sized on the per-range CSRs (each ~1/S the full density).
         chunk = max(auto_chunk(rp) for rp, _ in csrs)
-
-    def n_chunks(rp):
-        tb = np.minimum(
-            np.arange(num_rows // TR + (num_rows % TR > 0) + 1) * TR,
-            num_rows)
-        counts = rp[tb[1:]] - rp[tb[:-1]]
-        return int(np.maximum(-(-counts // chunk), 1).sum())
-
-    cmax = max(n_chunks(rp) for rp, _ in csrs)
+    # Pad every range to a common chunk count: all S kernel applications
+    # then share ONE compiled Mosaic kernel (shape-keyed compile cache)
+    # instead of S near-identical multi-minute remote compiles.
+    cmax = max(_plan_chunks(rp, chunk) for rp, _ in csrs)
+    if pad_to_chunks is not None:
+        cmax = max(cmax, pad_to_chunks)
     plans = [
         build_spmm_plan(rp, cl, chunk=chunk, pad_to_chunks=cmax)
         for rp, cl in csrs
@@ -532,15 +544,24 @@ class ShardedSpmmGraph(NamedTuple):
 
 def build_spmm_graph_sharded(rowptr, col, num_splits: int,
                              chunk: int = 512,
-                             num_cols: int = None) -> ShardedSpmmGraph:
-    """Host-side: build ``num_splits`` row-range SpMM plans (+transpose)."""
+                             num_cols: int = None,
+                             range_split: int = 1) -> ShardedSpmmGraph:
+    """Host-side: build ``num_splits`` row-range SpMM plans (+transpose).
+
+    ``range_split=S`` additionally column-range-partitions every split
+    (see :class:`RangeSpmmPlan`): the gathers read S static table
+    slices instead of the full table — the point of the sharded path is
+    graphs whose tables are far past the ~150 MB small-operand
+    transaction knee. All ``num_splits x S`` sub-plans pad to one chunk
+    count, so they still share ONE compiled kernel.
+    """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
     num_rows = rowptr.shape[0] - 1
     if num_cols is None:
         num_cols = num_rows
 
-    def split_plans(rp, cl, n_rows):
+    def split_csrs(rp, cl, n_rows):
         # Uniform split shapes (equal row count, padded equal chunk
         # count): every split shares ONE compiled kernel instead of
         # compiling per split (16+ compiles at 31M edges before this).
@@ -552,20 +573,28 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
             sub_rp[:hi - lo + 1] = rp[lo:hi + 1] - rp[lo]
             sub_rp[hi - lo + 1:] = sub_rp[hi - lo]  # trailing empty rows
             subs.append((sub_rp, cl[rp[lo]:rp[hi]]))
-        from pyg_lib_tpu.ops.pallas.spmm_chunked import TR
-        def n_chunks(sub_rp):
-            tb = np.minimum(np.arange(npd // TR + (npd % TR > 0) + 1) * TR,
-                            npd)
-            counts = sub_rp[tb[1:]] - sub_rp[tb[:-1]]
-            return int(np.maximum(-(-counts // chunk), 1).sum())
-        cmax = max(n_chunks(s_rp) for s_rp, _ in subs)
+        return subs
+
+    def split_plans(rp, cl, n_rows, n_cols):
+        subs = split_csrs(rp, cl, n_rows)
+        if range_split > 1:
+            cmax = max(
+                _plan_chunks(rp_r, chunk)
+                for s_rp, s_cl in subs
+                for rp_r, _ in _range_csrs(s_rp, s_cl, n_cols,
+                                           range_split)[0])
+            return tuple(
+                _build_range_plan(s_rp, s_cl, n_cols, range_split, chunk,
+                                  pad_to_chunks=cmax)
+                for s_rp, s_cl in subs)
+        cmax = max(_plan_chunks(s_rp, chunk) for s_rp, _ in subs)
         return tuple(
             build_spmm_plan(s_rp, s_cl, chunk=chunk, pad_to_chunks=cmax)
             for s_rp, s_cl in subs)
 
-    fwd = split_plans(rowptr, col, num_rows)
+    fwd = split_plans(rowptr, col, num_rows, num_cols)
     t_ptr, t_col = _transpose_csr(rowptr, col, num_cols)
-    bwd = split_plans(t_ptr, t_col, num_cols)
+    bwd = split_plans(t_ptr, t_col, num_cols, num_rows)
 
     deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
     return ShardedSpmmGraph(fwd=fwd, bwd=bwd, deg=deg, num_rows=num_rows,
@@ -583,7 +612,7 @@ def _sharded_apply(x, plans, num_rows=None, precision=None):
         x = xq
     outs = []
     for p in plans:
-        outs.append(spmm_plan_apply(x, p, precision=precision))
+        outs.append(_plan_apply_any(x, p, precision=precision))
     out = jnp.concatenate(outs, axis=0)
     if scale is not None:
         out = (out * scale[None, :]).astype(dtype)

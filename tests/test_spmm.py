@@ -580,3 +580,27 @@ def test_fused_range_fuzz_interpret():
         np.testing.assert_allclose(
             np.asarray(out), ref, atol=2e-3, rtol=2e-3,
             err_msg=f'case {case}: n={n} e={e} s={s} chunk={chunk}')
+
+
+@pytest.mark.parametrize('precision', [None, 'int8'])
+def test_spmm_sharded_range_split(precision):
+    """Row splits x column ranges: plans compose; int8 quantises once."""
+    rng = np.random.default_rng(24)
+    rowptr, col = _random_csr(rng, 300, 4000)
+    x = rng.integers(-127, 128, size=(300, 32)).astype(np.float32)
+    x[0, :] = 127
+    graph = ops.build_spmm_graph_sharded(rowptr, col, 3, chunk=128,
+                                         range_split=4)
+    # All (split, range) sub-plans share one padded chunk count.
+    chunks = {
+        p.chunk_tile.shape[0]
+        for rp in graph.fwd for p in rp.plans
+    }
+    assert len(chunks) == 1
+    out = np.asarray(
+        ops.spmm_sharded(jnp.asarray(x), graph, precision=precision))
+    ref = _spmm_ref(x, rowptr, col, 'sum')
+    np.testing.assert_array_equal(out, ref)
+    g = jax.grad(lambda a: ops.spmm_sharded(
+        a, graph, precision=precision).sum())(jnp.asarray(x))
+    assert g.shape == x.shape and bool(jnp.isfinite(g).all())
