@@ -61,9 +61,17 @@ def main():
             fused = cfg.endswith('f')
             s = int(cfg.rstrip('f'))
             t0 = time.time()
-            graph = ops.build_spmm_graph(rowptr, col, range_split=s,
-                                         range_fused=fused)
+            # 'auto' chunks: per-(tile, range) counts sit near the 512
+            # boundary at S=4 (mean 512), where a 512-chunk pads ~50%.
+            graph = ops.build_spmm_graph(
+                rowptr, col, range_split=s,
+                chunk=512 if s == 1 else 'auto', range_fused=fused)
             build_s = time.time() - t0
+            if s > 1:
+                plans = graph.fwd.plans
+                e_pad = sum(p.col_padded.shape[0] for p in plans)
+            else:
+                e_pad = graph.fwd.col_padded.shape[0]
 
             @jax.jit
             def loop(x, graph=graph):
@@ -82,6 +90,7 @@ def main():
                 'config': f'S={cfg} bf16',
                 'ms_per_iter': round(ms, 2),
                 'eff_gbps': round(useful / (ms * 1e-3) / 1e9, 1),
+                'pad_factor': round(e_pad / e_actual, 3),
                 'plan_build_s': round(build_s, 1),
                 'compile_s': round(compile_s, 1),
             }), flush=True)

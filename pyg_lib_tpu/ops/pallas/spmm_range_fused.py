@@ -69,15 +69,19 @@ class FusedRangePlan(NamedTuple):
 
 
 def build_fused_range_plan(rowptr, col, num_cols: int, range_split: int,
-                           chunk: int = 512) -> FusedRangePlan:
-    """Host-side: per-range chunked layouts + the tile-major step tables."""
+                           chunk=512) -> FusedRangePlan:
+    """Host-side: per-range chunked layouts + the tile-major step tables.
+
+    ``chunk='auto'`` sizes the chunk on the per-range degree
+    distributions (``pallas.auto_chunk``).
+    """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
     num_rows = rowptr.shape[0] - 1
     ns = -(-num_cols // range_split)
     row_of_edge = np.repeat(np.arange(num_rows, dtype=np.int64),
                             np.diff(rowptr).astype(np.int64))
-    plans, bounds = [], []
+    csrs, bounds = [], []
     for r in range(range_split):
         lo, hi = r * ns, min((r + 1) * ns, num_cols)
         if lo >= hi:
@@ -89,12 +93,22 @@ def build_fused_range_plan(rowptr, col, num_cols: int, range_split: int,
         cnt = np.bincount(row_of_edge[mask], minlength=num_rows)
         rp_r = np.zeros(num_rows + 1, np.int64)
         np.cumsum(cnt, out=rp_r[1:])
-        # Compact layouts: a range with no edges in a tile gets ZERO
-        # chunks there (no gather, no stream traffic) — the fused
-        # schedule masks the step instead.
-        plans.append(build_spmm_plan(rp_r, col_r, chunk=chunk,
-                                     allow_empty_tiles=True))
+        csrs.append((rp_r, col_r))
         bounds.append((int(lo), int(hi)))
+    if chunk == 'auto':
+        # Sized on the per-range CSRs: each is ~1/S the full density,
+        # and per-tile counts near a chunk boundary pad up to 2x with
+        # the dense graph's chunk size.
+        from pyg_lib_tpu.ops.pallas.spmm_chunked import auto_chunk
+        chunk = (max(auto_chunk(rp) for rp, _ in csrs)
+                 if csrs else auto_chunk(rowptr))
+    # Compact layouts: a range with no edges in a tile gets ZERO chunks
+    # there (no gather, no stream traffic) — the fused schedule masks
+    # the step instead.
+    plans = [
+        build_spmm_plan(rp_r, col_r, chunk=chunk, allow_empty_tiles=True)
+        for rp_r, col_r in csrs
+    ]
     if not plans:
         # Edgeless graph: one ordinary (floored) plan covers everything.
         plans.append(build_spmm_plan(rowptr, col, chunk=chunk))

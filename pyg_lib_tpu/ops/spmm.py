@@ -198,9 +198,6 @@ def build_spmm_graph(rowptr, col, chunk=512,
         if range_fused:
             from pyg_lib_tpu.ops.pallas.spmm_range_fused import (
                 build_fused_range_plan, )
-            if chunk == 'auto':
-                from pyg_lib_tpu.ops.pallas.spmm_chunked import auto_chunk
-                chunk = auto_chunk(rowptr)
             fwd = build_fused_range_plan(rowptr, col, num_cols,
                                          range_split, chunk)
             t_ptr, t_col = _transpose_csr(rowptr, col, num_cols)
