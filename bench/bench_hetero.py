@@ -57,13 +57,20 @@ def main():
     t0 = time.perf_counter()
     hplan = gnn.build_rgcn_planned(rowptr_d, col_d, num_nodes)
     t_hplan = time.perf_counter() - t0
-    print(f'# plan build: per-relation {t_plans:.1f}s, fused {t_hplan:.1f}s')
+    t0 = time.perf_counter()
+    hsliced = gnn.build_rgcn_planned(rowptr_d, col_d, num_nodes,
+                                     chunk='auto', range_sliced=True)
+    t_hsl = time.perf_counter() - t0
+    print(f'# plan build: per-relation {t_plans:.1f}s, fused '
+          f'{t_hplan:.1f}s, sliced {t_hsl:.1f}s')
 
     iters = 8
     results = {}
     for name, fn, arg in [('per_relation', gnn.rgcn_forward_spmm, graphs),
                           ('fused_planned', gnn.rgcn_forward_planned,
-                           hplan)]:
+                           hplan),
+                          ('fused_sliced', gnn.rgcn_forward_planned,
+                           hsliced)]:
 
         @jax.jit
         def loop(x_dict, fn=fn, arg=arg):
@@ -88,6 +95,12 @@ def main():
     print(json.dumps({
         'metric': 'rgcn_fused_speedup',
         'value': round(results['per_relation'] / results['fused_planned'],
+                       2),
+        'unit': 'x',
+    }))
+    print(json.dumps({
+        'metric': 'rgcn_sliced_speedup',
+        'value': round(results['per_relation'] / results['fused_sliced'],
                        2),
         'unit': 'x',
     }))

@@ -404,9 +404,21 @@ class HeteroSpmmPlan(NamedTuple):
 
 
 def build_rgcn_planned(rowptr_dict, col_dict, num_nodes_dict,
-                       chunk: int = 512) -> HeteroSpmmPlan:
-    """Stack per-relation CSRs into one plan per dst type (host-side)."""
-    from pyg_lib_tpu.ops import build_spmm_graph
+                       chunk: int = 512,
+                       range_sliced: bool = False) -> HeteroSpmmPlan:
+    """Stack per-relation CSRs into one plan per dst type (host-side).
+
+    ``range_sliced=True`` builds each dst type's plan as a weighted
+    fused-range plan whose column ranges are the per-relation segments
+    of the stacked source space: the aggregation keeps the fused form's
+    single dispatch, but every gather reads ONE relation's (small)
+    transformed table slice instead of the full stack — the stacked
+    gather's large-operand transaction cost is what made the fused path
+    lose 2.3x to per-relation plans on the ogbn-mag-shaped bench
+    (BENCHMARKS.md). The 1/deg_r(dst) mean normalisation bakes into the
+    plan as per-edge weights.
+    """
+    from pyg_lib_tpu.ops import build_spmm_graph, build_weighted_fused_graph
 
     rel_order = tuple(sorted(rowptr_dict))
     src_ptr = np.zeros(len(rel_order) + 1, np.int64)
@@ -438,6 +450,13 @@ def build_rgcn_planned(rowptr_dict, col_dict, num_nodes_dict,
         dinv = np.concatenate(dinv_all)[order]
         rowptr = np.zeros(n_dst + 1, np.int64)
         np.cumsum(np.bincount(rows_cat, minlength=n_dst), out=rowptr[1:])
+        if range_sliced:
+            graphs[dst_t] = build_weighted_fused_graph(
+                rowptr, col, int(src_ptr[-1]),
+                bounds=[(int(src_ptr[ri]), int(src_ptr[ri + 1]))
+                        for ri, _ in ks],
+                edge_weight=dinv, chunk=chunk)
+            continue
         g = build_spmm_graph(rowptr, col, chunk=chunk,
                              with_edge_maps=True,
                              num_cols=int(src_ptr[-1]))
@@ -466,7 +485,8 @@ def rgcn_forward_planned(params: Dict, x_dict: Dict,
     then each dst type runs ONE weighted chunked reduce over all its
     relations at once.
     """
-    from pyg_lib_tpu.ops import segment_matmul, segment_sum_padded
+    from pyg_lib_tpu.ops import segment_matmul, segment_sum_padded, spmm
+    from pyg_lib_tpu.ops.pallas.spmm_range_fused import FusedRangePlan
 
     rels = hplan.rel_order
     ptr = jnp.asarray(hplan.src_ptr)
@@ -480,9 +500,15 @@ def rgcn_forward_planned(params: Dict, x_dict: Dict,
         h_cat = segment_matmul(x_cat, ptr, layer['w'])
         for dst_t, g in hplan.graphs.items():
             plan = g.fwd
-            msgs = jnp.take(h_cat, plan.col_padded, axis=0)
-            msgs = msgs * hplan.deginv[dst_t][:, None].astype(msgs.dtype)
-            agg = segment_sum_padded(msgs, plan).astype(h_cat.dtype)
+            if isinstance(plan, FusedRangePlan):
+                # range-sliced form: per-relation slice gathers, one
+                # fused weighted reduce (weights = 1/deg_r baked in).
+                agg = spmm(h_cat, g)
+            else:
+                msgs = jnp.take(h_cat, plan.col_padded, axis=0)
+                msgs = msgs * hplan.deginv[dst_t][:, None].astype(
+                    msgs.dtype)
+                agg = segment_sum_padded(msgs, plan).astype(h_cat.dtype)
             out[dst_t] = out[dst_t] + agg[:out[dst_t].shape[0]]
         x_dict = out
         if i < len(params['layers']) - 1:

@@ -57,7 +57,8 @@ from pyg_lib_tpu.ops.softmax import softmax_csr
 from pyg_lib_tpu.ops.spline import spline_basis, spline_weighting
 from pyg_lib_tpu.ops.spmm import (ShardedSpmmGraph, SpmmGraph,
                                   build_spmm_graph,
-                                  build_spmm_graph_sharded, sddmm,
+                                  build_spmm_graph_sharded,
+                                  build_weighted_fused_graph, sddmm,
                                   spmm_sharded,
                                   RangeSpmmPlan,
                                   segment_max_padded,
@@ -73,6 +74,7 @@ __all__ = [
     'ShardedSpmmGraph',
     'build_spmm_graph_sharded',
     'sddmm',
+    'build_weighted_fused_graph',
     'build_spmm_graph',
     'SpmmGraph',
     'segment_sum_padded',

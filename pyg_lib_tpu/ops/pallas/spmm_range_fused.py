@@ -66,26 +66,52 @@ class FusedRangePlan(NamedTuple):
     num_rows: int
     num_edges: int
     chunk: int
+    # Optional per-edge weights in each range's padded coordinates
+    # (``out[r] = Σ w_e · x[col_e]``) — e.g. per-relation R-GCN mean
+    # normalisation baked into a per-relation-sliced hetero plan.
+    weights: Optional[tuple] = None
 
 
 def build_fused_range_plan(rowptr, col, num_cols: int, range_split: int,
-                           chunk=512) -> FusedRangePlan:
+                           chunk=512, bounds=None,
+                           edge_weight=None) -> FusedRangePlan:
     """Host-side: per-range chunked layouts + the tile-major step tables.
 
     ``chunk='auto'`` sizes the chunk on the per-range degree
-    distributions (``pallas.auto_chunk``).
+    distributions (``pallas.auto_chunk``). ``bounds`` optionally gives
+    EXPLICIT (lo, hi) column ranges instead of ``range_split`` uniform
+    ones — e.g. per-relation segments of a stacked hetero source space,
+    so each gather operand is one relation's (small) table slice.
+    ``edge_weight`` (length ``num_edges``, in the CSR's edge order)
+    bakes a per-edge scale into the plan: ``out[r] = Σ w_e · x[col_e]``.
     """
+    from pyg_lib_tpu.ops.pallas.spmm_chunked import _build_padded_layout
+
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
     num_rows = rowptr.shape[0] - 1
-    ns = -(-num_cols // range_split)
+    if edge_weight is not None:
+        edge_weight = np.asarray(edge_weight, dtype=np.float32)
+        if edge_weight.shape[0] != col.shape[0]:
+            raise ValueError('edge_weight must have one entry per edge')
+    if bounds is None:
+        ns = -(-num_cols // range_split)
+        bounds = [(r * ns, min((r + 1) * ns, num_cols))
+                  for r in range(range_split)]
+    else:
+        bounds = [(int(lo), int(hi)) for lo, hi in bounds]
+        for (alo, ahi), (blo, bhi) in zip(bounds, bounds[1:]):
+            if ahi > blo:
+                raise ValueError('bounds must be sorted and disjoint')
+        if len(col) and (col.min() < bounds[0][0]
+                         or col.max() >= bounds[-1][1]):
+            raise ValueError('bounds must cover every column id')
     row_of_edge = np.repeat(np.arange(num_rows, dtype=np.int64),
                             np.diff(rowptr).astype(np.int64))
-    csrs, bounds = [], []
-    for r in range(range_split):
-        lo, hi = r * ns, min((r + 1) * ns, num_cols)
+    csrs, kept = [], []
+    for lo, hi in bounds:
         if lo >= hi:
-            break
+            continue
         mask = (col >= lo) & (col < hi)
         if not mask.any():
             continue  # edgeless range: no slab, no kernel operand
@@ -93,26 +119,38 @@ def build_fused_range_plan(rowptr, col, num_cols: int, range_split: int,
         cnt = np.bincount(row_of_edge[mask], minlength=num_rows)
         rp_r = np.zeros(num_rows + 1, np.int64)
         np.cumsum(cnt, out=rp_r[1:])
-        csrs.append((rp_r, col_r))
-        bounds.append((int(lo), int(hi)))
+        w_r = edge_weight[mask] if edge_weight is not None else None
+        csrs.append((rp_r, col_r, w_r))
+        kept.append((int(lo), int(hi)))
+    bounds = kept
     if chunk == 'auto':
         # Sized on the per-range CSRs: each is ~1/S the full density,
         # and per-tile counts near a chunk boundary pad up to 2x with
         # the dense graph's chunk size.
         from pyg_lib_tpu.ops.pallas.spmm_chunked import auto_chunk
-        chunk = (max(auto_chunk(rp) for rp, _ in csrs)
+        chunk = (max(auto_chunk(rp) for rp, _, _ in csrs)
                  if csrs else auto_chunk(rowptr))
     # Compact layouts: a range with no edges in a tile gets ZERO chunks
     # there (no gather, no stream traffic) — the fused schedule masks
     # the step instead.
-    plans = [
-        build_spmm_plan(rp_r, col_r, chunk=chunk, allow_empty_tiles=True)
-        for rp_r, col_r in csrs
-    ]
+    plans, weights = [], []
+    for rp_r, col_r, w_r in csrs:
+        plans.append(build_spmm_plan(rp_r, col_r, chunk=chunk,
+                                     allow_empty_tiles=True))
+        if w_r is not None:
+            orig, valid, _, _, _ = _build_padded_layout(
+                rp_r, chunk, allow_empty_tiles=True)
+            wp = np.where(valid,
+                          w_r[np.minimum(orig, max(len(w_r) - 1, 0))],
+                          0.0).astype(np.float32)
+            weights.append(jnp.asarray(wp))
     if not plans:
         # Edgeless graph: one ordinary (floored) plan covers everything.
         plans.append(build_spmm_plan(rowptr, col, chunk=chunk))
         bounds.append((0, int(num_cols)))
+        if edge_weight is not None:
+            weights.append(jnp.zeros((plans[0].col_padded.shape[0], ),
+                                     jnp.float32))
     s_eff = len(plans)
 
     # Per (tile, range) chunk counts from each plan's chunk->tile list
@@ -161,6 +199,7 @@ def build_fused_range_plan(rowptr, col, num_cols: int, range_split: int,
         num_rows=int(num_rows),
         num_edges=int(col.shape[0]),
         chunk=int(chunk),
+        weights=tuple(weights) if weights else None,
     )
 
 
@@ -259,6 +298,10 @@ def fused_range_apply(x: jax.Array, plan: FusedRangePlan,
     f = x.shape[1]
     scale = None
     if precision == 'int8':
+        if plan.weights is not None:
+            raise ValueError("precision='int8' is not supported on "
+                             'weighted fused-range plans (the per-edge '
+                             'multiply would upcast the int8 slab)')
         xm, scale = quantize_columns(x)
         itemsize = 1
     elif precision == 'bf16' and x.dtype != jnp.bfloat16:
@@ -285,12 +328,19 @@ def fused_range_apply(x: jax.Array, plan: FusedRangePlan,
         # per-range partial sums, accumulated in f32 like the kernel.
         # int8 slices the pre-quantised table (global column scales);
         # bf16 slices the original so each partial comes back f32.
+        from pyg_lib_tpu.ops.pallas.spmm_chunked import segment_sum_chunked
+
         src = xm if scale is not None else x
         sub_prec = 'int8' if scale is not None else precision
         out = None
-        for (lo, hi), p in zip(plan.bounds, plan.plans):
+        for r, ((lo, hi), p) in enumerate(zip(plan.bounds, plan.plans)):
             xr = jax.lax.slice_in_dim(src, lo, hi, axis=0)
-            o = spmm_plan_apply(xr, p, precision=sub_prec)
+            if plan.weights is not None:
+                msgs = (jnp.take(xr, p.col_padded, axis=0).astype(
+                    jnp.float32) * plan.weights[r][:, None])
+                o = segment_sum_chunked(msgs, p)
+            else:
+                o = spmm_plan_apply(xr, p, precision=sub_prec)
             o = o.astype(jnp.float32)
             out = o if out is None else out + o
         if scale is not None:
@@ -298,13 +348,19 @@ def fused_range_apply(x: jax.Array, plan: FusedRangePlan,
         return out.astype(x.dtype)
 
     slabs = []
-    for (lo, hi), p in zip(plan.bounds, plan.plans):
+    for r, ((lo, hi), p) in enumerate(zip(plan.bounds, plan.plans)):
         # The barrier keeps each slice a real (small) gather operand —
         # fused away, the access pattern is back on the full table and
         # loses the small-table transaction rate.
         xr = jax.lax.optimization_barrier(
             jax.lax.slice_in_dim(xm, lo, hi, axis=0))
-        slabs.append(jnp.take(xr, p.col_padded, axis=0))
+        slab = jnp.take(xr, p.col_padded, axis=0)
+        if plan.weights is not None:
+            # Per-edge scale fuses into the gather consumer; slab dtype
+            # is preserved (bf16 stays bf16).
+            slab = (slab.astype(jnp.float32) *
+                    plan.weights[r][:, None]).astype(slab.dtype)
+        slabs.append(slab)
     out = _fused_call(s_eff, plan.num_rows, plan.chunk, plan.step_tile,
                       plan.blocks, plan.posb, plan.tile_ptrs, tuple(slabs),
                       bool(interpret))

@@ -35,7 +35,7 @@ __all__ = ['SpmmGraph', 'build_spmm_graph', 'spmm', 'spmm_csr', 'sddmm',
            'segment_sum_padded', 'segment_softmax_padded',
            'segment_max_padded', 'segment_min_padded',
            'ShardedSpmmGraph', 'build_spmm_graph_sharded',
-           'spmm_sharded', 'RangeSpmmPlan']
+           'spmm_sharded', 'RangeSpmmPlan', 'build_weighted_fused_graph']
 
 
 class RangeSpmmPlan(NamedTuple):
@@ -147,7 +147,7 @@ class SpmmGraph(NamedTuple):
     deg: jax.Array  # [num_rows] f32 row degrees (for reduce='mean')
 
 
-def _transpose_csr(rowptr, col, num_cols):
+def _transpose_csr(rowptr, col, num_cols, return_order: bool = False):
     """Counting-sort transpose of a (possibly rectangular) CSR."""
     num_rows = rowptr.shape[0] - 1
     row = np.repeat(np.arange(num_rows, dtype=np.int64),
@@ -157,7 +157,37 @@ def _transpose_csr(rowptr, col, num_cols):
     t_ptr = np.zeros(num_cols + 1, np.int64)
     np.cumsum(np.bincount(col, minlength=num_cols)[:num_cols],
               out=t_ptr[1:])
+    if return_order:
+        return t_ptr, t_col, order
     return t_ptr, t_col
+
+
+def build_weighted_fused_graph(rowptr, col, num_cols: int, bounds,
+                               edge_weight, chunk='auto') -> SpmmGraph:
+    """Fused-range :class:`SpmmGraph` with per-edge weights baked in.
+
+    ``out[r] = Σ_e w_e · x[col_e]`` over explicit column ``bounds``
+    (e.g. per-relation segments of a stacked hetero source space — each
+    gather then reads one relation's small table slice). Differentiable
+    through :func:`spmm`: the transpose plan carries the same weights,
+    so ``grad_x = Σ_e w_e · g[row_e]``. Weights are plan constants, not
+    differentiable parameters.
+    """
+    from pyg_lib_tpu.ops.pallas.spmm_range_fused import (
+        build_fused_range_plan, )
+
+    rowptr = np.asarray(rowptr, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    edge_weight = np.asarray(edge_weight, dtype=np.float32)
+    num_rows = rowptr.shape[0] - 1
+    fwd = build_fused_range_plan(rowptr, col, num_cols, 1, chunk=chunk,
+                                 bounds=bounds, edge_weight=edge_weight)
+    t_ptr, t_col, order = _transpose_csr(rowptr, col, num_cols,
+                                         return_order=True)
+    bwd = build_fused_range_plan(t_ptr, t_col, num_rows, 1, chunk=chunk,
+                                 edge_weight=edge_weight[order])
+    deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
+    return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg)
 
 
 def build_spmm_graph(rowptr, col, chunk=512,

@@ -247,3 +247,48 @@ def test_train_step_param_spec_and_donate():
     assert p['w'].sharding.spec == P(None, 'model')
     with pytest.raises(ValueError, match='accum_steps'):
         make_train_step(loss_fn, opt, mesh, accum_steps=0)
+
+
+def test_rgcn_range_sliced_matches_per_relation_spmm():
+    """The range-sliced fused plan (per-relation slice gathers + one
+    weighted fused reduce) must also reproduce rgcn_forward_spmm."""
+    import numpy as np
+    from pyg_lib_tpu.models import gnn
+
+    rng = np.random.default_rng(5)
+    num_nodes = {'a': 40, 'b': 25, 'c': 10}
+    rels = [('a', 'r1', 'b'), ('b', 'r2', 'a'), ('c', 'r3', 'b'),
+            ('a', 'r4', 'a')]
+    rowptr_d, col_d = {}, {}
+    for (s, r, d) in rels:
+        deg = rng.integers(0, 5, size=num_nodes[d])
+        rp = np.zeros(num_nodes[d] + 1, np.int64)
+        rp[1:] = np.cumsum(deg)
+        rowptr_d[(s, r, d)] = rp
+        col_d[(s, r, d)] = rng.integers(0, num_nodes[s], size=int(rp[-1]))
+
+    params = gnn.init_rgcn_spmm(jax.random.PRNGKey(0), [16, 32, 8],
+                                num_relations=len(rels))
+    params = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+    x_dict = {t: jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+              for t, n in num_nodes.items()}
+
+    graphs = gnn.build_rgcn_graphs(rowptr_d, col_d, num_nodes)
+    ref = gnn.rgcn_forward_spmm(params, x_dict, graphs)
+    hplan = gnn.build_rgcn_planned(rowptr_d, col_d, num_nodes, chunk=128,
+                                   range_sliced=True)
+    out = gnn.rgcn_forward_planned(params, x_dict, hplan)
+    for t in num_nodes:
+        np.testing.assert_allclose(np.asarray(out[t]),
+                                   np.asarray(ref[t]), rtol=2e-4,
+                                   atol=2e-4)
+
+    def loss(p, fwd, plan):
+        o = fwd(p, x_dict, plan)
+        return sum(jnp.sum(v**2) for v in o.values())
+
+    g1 = jax.grad(loss)(params, gnn.rgcn_forward_spmm, graphs)
+    g2 = jax.grad(loss)(params, gnn.rgcn_forward_planned, hplan)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4), g1, g2)

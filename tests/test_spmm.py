@@ -604,3 +604,58 @@ def test_spmm_sharded_range_split(precision):
     g = jax.grad(lambda a: ops.spmm_sharded(
         a, graph, precision=precision).sum())(jnp.asarray(x))
     assert g.shape == x.shape and bool(jnp.isfinite(g).all())
+
+
+def test_weighted_fused_graph_matches_oracle_and_grad():
+    """Explicit bounds + per-edge weights: out[r] = sum w_e x[col_e];
+    grad carries the same weights through the transpose plan."""
+    rng = np.random.default_rng(25)
+    rowptr, col = _random_csr(rng, 200, 2500)
+    w = rng.uniform(0.1, 2.0, size=2500).astype(np.float32)
+    bounds = [(0, 64), (64, 150), (150, 200)]
+    graph = ops.build_weighted_fused_graph(rowptr, col, 200, bounds, w,
+                                           chunk=128)
+    x = jnp.asarray(rng.normal(size=(200, 32)).astype(np.float32))
+
+    out = np.asarray(ops.spmm(x, graph))
+    ref = np.zeros((200, 32), np.float32)
+    rows = np.repeat(np.arange(200), np.diff(rowptr))
+    np.add.at(ref, rows, np.asarray(x)[col] * w[:, None])
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+    gv = rng.normal(size=(200, 32)).astype(np.float32)
+    grad = np.asarray(
+        jax.grad(lambda v: jnp.vdot(ops.spmm(v, graph),
+                                    jnp.asarray(gv)))(x))
+    gref = np.zeros((200, 32), np.float32)
+    np.add.at(gref, col, gv[rows] * w[:, None])
+    np.testing.assert_allclose(grad, gref, atol=1e-3, rtol=1e-3)
+
+    # int8 is rejected on weighted plans; bad bounds are rejected.
+    with pytest.raises(ValueError, match='int8'):
+        ops.spmm(x, graph, precision='int8')
+    from pyg_lib_tpu.ops.pallas.spmm_range_fused import (
+        build_fused_range_plan, )
+    with pytest.raises(ValueError, match='cover'):
+        build_fused_range_plan(rowptr, col, 200, 1, chunk=128,
+                               bounds=[(0, 100)])
+    with pytest.raises(ValueError, match='disjoint'):
+        build_fused_range_plan(rowptr, col, 200, 1, chunk=128,
+                               bounds=[(0, 120), (100, 200)])
+
+
+def test_weighted_fused_interpret_kernel():
+    from pyg_lib_tpu.ops.pallas.spmm_range_fused import (
+        build_fused_range_plan, fused_range_apply)
+
+    rng = np.random.default_rng(26)
+    rowptr, col = _random_csr(rng, 260, 3000)
+    w = rng.uniform(0.0, 1.0, size=3000).astype(np.float32)
+    plan = build_fused_range_plan(rowptr, col, 260, 3, chunk=128,
+                                  edge_weight=w)
+    x = rng.normal(size=(260, 64)).astype(np.float32)
+    out = fused_range_apply(jnp.asarray(x), plan, interpret=True)
+    ref = np.zeros((260, 64), np.float32)
+    rows = np.repeat(np.arange(260), np.diff(rowptr))
+    np.add.at(ref, rows, x[col] * w[:, None])
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
