@@ -197,3 +197,35 @@ def test_segment_softmax_padded_grad():
     # pad slots carry exactly zero gradient
     padm = ~np.asarray(plan.valid_mask)
     assert np.abs(np.asarray(grad)[padm]).max() == 0.0
+
+
+def test_weighted_fused_range_grad(data):
+    # The planned pipeline computes in f32 by kernel contract (weights
+    # and membership dots), so f64 FD sees f32 rounding: wider tols.
+    kw = dict(_KW, atol=2e-3, rtol=2e-3)
+    rng = np.random.default_rng(4)
+    n, e = 12, 50
+    deg = rng.multinomial(e, np.ones(n) / n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=e)
+    w = rng.uniform(0.2, 1.5, size=e).astype(np.float32)
+    graph = ops.build_weighted_fused_graph(rowptr, col, n,
+                                           [(0, 5), (5, n)], w, chunk=128)
+    x = jnp.asarray(rng.normal(size=(n, 3)))
+    check_grads(lambda v: ops.spmm(v, graph), (x, ), **kw)
+
+
+def test_range_split_grads(data):
+    kw = dict(_KW, atol=2e-3, rtol=2e-3)  # f32 kernel contract, as above
+    rng = np.random.default_rng(5)
+    n, e = 12, 50
+    deg = rng.multinomial(e, np.ones(n) / n)
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    col = rng.integers(0, n, size=e)
+    x = jnp.asarray(rng.normal(size=(n, 3)))
+    for fused in (False, True):
+        graph = ops.build_spmm_graph(rowptr, col, chunk=128,
+                                     range_split=3, range_fused=fused)
+        check_grads(lambda v: ops.spmm(v, graph), (x, ), **kw)
