@@ -176,7 +176,8 @@ def auto_chunk(rowptr, candidates=(512, 256, 128),
 def build_spmm_plan(rowptr, col, chunk=512,
                     with_edge_maps: bool = False,
                     pad_to_chunks: int = None,
-                    allow_empty_tiles: bool = False) -> SpmmPlan:
+                    allow_empty_tiles: bool = False,
+                    _layout=None) -> SpmmPlan:
     """Build the chunked schedule for ``out[r] = Σ x[col[e]]`` over CSR rows.
 
     One-time host preprocessing per graph (analogous to the reference
@@ -191,8 +192,13 @@ def build_spmm_plan(rowptr, col, chunk=512,
     col = np.asarray(col)
     if chunk == 'auto':
         chunk = auto_chunk(rowptr)
-    orig, valid, chunk_tile, tile_ptr, shift = _build_padded_layout(
-        rowptr, chunk, allow_empty_tiles)
+    # _layout: a caller that already ran _build_padded_layout (e.g. the
+    # weighted fused-range builder, which also maps per-edge weights
+    # into padded coordinates) passes it in to avoid the second O(E_pad)
+    # host pass; it must match (rowptr, chunk, allow_empty_tiles).
+    orig, valid, chunk_tile, tile_ptr, shift = (
+        _layout if _layout is not None else _build_padded_layout(
+            rowptr, chunk, allow_empty_tiles))
     if len(col):
         col_padded = np.where(valid, col[np.minimum(orig, len(col) - 1)],
                               0).astype(np.int32)

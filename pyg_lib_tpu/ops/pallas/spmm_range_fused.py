@@ -109,12 +109,14 @@ def build_fused_range_plan(rowptr, col, num_cols: int, range_split: int,
     row_of_edge = np.repeat(np.arange(num_rows, dtype=np.int64),
                             np.diff(rowptr).astype(np.int64))
     csrs, kept = [], []
+    covered = 0
     for lo, hi in bounds:
         if lo >= hi:
             continue
         mask = (col >= lo) & (col < hi)
         if not mask.any():
             continue  # edgeless range: no slab, no kernel operand
+        covered += int(mask.sum())
         col_r = (col[mask] - lo).astype(np.int64)
         cnt = np.bincount(row_of_edge[mask], minlength=num_rows)
         rp_r = np.zeros(num_rows + 1, np.int64)
@@ -122,6 +124,12 @@ def build_fused_range_plan(rowptr, col, num_cols: int, range_split: int,
         w_r = edge_weight[mask] if edge_weight is not None else None
         csrs.append((rp_r, col_r, w_r))
         kept.append((int(lo), int(hi)))
+    if covered != int(col.shape[0]):
+        # The min/max envelope check above cannot see GAPS between
+        # bounds; an uncovered edge would silently vanish from the sum.
+        raise ValueError(
+            f'bounds leave {int(col.shape[0]) - covered} edges uncovered '
+            '(column ids falling in gaps between ranges)')
     bounds = kept
     if chunk == 'auto':
         # Sized on the per-range CSRs: each is ~1/S the full density,
@@ -135,11 +143,12 @@ def build_fused_range_plan(rowptr, col, num_cols: int, range_split: int,
     # the step instead.
     plans, weights = [], []
     for rp_r, col_r, w_r in csrs:
+        layout = _build_padded_layout(rp_r, chunk, allow_empty_tiles=True)
         plans.append(build_spmm_plan(rp_r, col_r, chunk=chunk,
-                                     allow_empty_tiles=True))
+                                     allow_empty_tiles=True,
+                                     _layout=layout))
         if w_r is not None:
-            orig, valid, _, _, _ = _build_padded_layout(
-                rp_r, chunk, allow_empty_tiles=True)
+            orig, valid = layout[0], layout[1]
             wp = np.where(valid,
                           w_r[np.minimum(orig, max(len(w_r) - 1, 0))],
                           0.0).astype(np.float32)
@@ -291,8 +300,15 @@ def fused_range_apply(x: jax.Array, plan: FusedRangePlan,
                       interpret: Optional[bool] = None) -> jax.Array:
     """``out[r] = Σ_{e in row r} x[col[e]]`` with per-range slice gathers
     and ONE fused reduction kernel. Precision modes match
-    :func:`pyg_lib_tpu.ops.pallas.spmm_chunked.spmm_plan_apply`;
-    ``interpret=True`` forces the Pallas interpreter (kernel unit tests).
+    :func:`pyg_lib_tpu.ops.pallas.spmm_chunked.spmm_plan_apply`.
+
+    ``interpret`` follows the kernel-family convention
+    (``segment_sum_chunked``): ``None`` picks the kernel on TPU and the
+    XLA fallback elsewhere; ``True`` forces the Pallas interpreter
+    (kernel unit tests); ``False`` forces the compiled kernel (invalid
+    off-TPU). Note the fallback loop here is NOT ``_range_plan_apply``:
+    these compact layouts are only kernel-safe inside the fused
+    schedule, so the fallback must stay on the XLA segment-sum path.
     """
     s_eff = len(plan.plans)
     f = x.shape[1]

@@ -602,21 +602,32 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
             subs.append((sub_rp, cl[rp[lo]:rp[hi]]))
         return subs
 
+    from pyg_lib_tpu.ops.pallas.spmm_chunked import auto_chunk
+
     def split_plans(rp, cl, n_rows, n_cols):
         subs = split_csrs(rp, cl, n_rows)
         if range_split > 1:
-            cmax = max(
-                _plan_chunks(rp_r, chunk)
-                for s_rp, s_cl in subs
+            range_rps = [
+                rp_r for s_rp, s_cl in subs
                 for rp_r, _ in _range_csrs(s_rp, s_cl, n_cols,
-                                           range_split)[0])
+                                           range_split)[0]
+            ]
+            # ONE chunk size across all (split, range) sub-plans — they
+            # must share a compiled kernel shape.
+            ck = (max(auto_chunk(rp_r) for rp_r in range_rps)
+                  if chunk == 'auto' and range_rps else
+                  (512 if chunk == 'auto' else chunk))
+            cmax = max((_plan_chunks(rp_r, ck) for rp_r in range_rps),
+                       default=1)
             return tuple(
-                _build_range_plan(s_rp, s_cl, n_cols, range_split, chunk,
+                _build_range_plan(s_rp, s_cl, n_cols, range_split, ck,
                                   pad_to_chunks=cmax)
                 for s_rp, s_cl in subs)
-        cmax = max(_plan_chunks(s_rp, chunk) for s_rp, _ in subs)
+        ck = (max(auto_chunk(s_rp) for s_rp, _ in subs)
+              if chunk == 'auto' else chunk)
+        cmax = max(_plan_chunks(s_rp, ck) for s_rp, _ in subs)
         return tuple(
-            build_spmm_plan(s_rp, s_cl, chunk=chunk, pad_to_chunks=cmax)
+            build_spmm_plan(s_rp, s_cl, chunk=ck, pad_to_chunks=cmax)
             for s_rp, s_cl in subs)
 
     fwd = split_plans(rowptr, col, num_rows, num_cols)

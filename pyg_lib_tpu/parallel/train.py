@@ -18,9 +18,10 @@ production loop needs on 16 GB chips:
 * **rematerialisation** (``remat=True``) — ``jax.checkpoint`` around
   the loss, re-computing activations in the backward instead of
   storing them (pairs with the sharded 31M-edge plans, DESIGN.md §8);
-* **buffer donation** (``donate=True``) — params/opt-state buffers are
-  donated to the step so XLA updates them in place instead of holding
-  old+new copies live.
+* **buffer donation** (``donate=True``, opt-in: it invalidates the
+  caller's params/opt-state references) — buffers are donated to the
+  step so XLA updates them in place instead of holding old+new copies
+  live.
 """
 
 from typing import Callable, Optional
@@ -40,7 +41,7 @@ def make_train_step(loss_fn: Callable,
                     param_spec=None,
                     accum_steps: int = 1,
                     remat: bool = False,
-                    donate: bool = True):
+                    donate: bool = False):
     """Builds a jitted ``(params, opt_state, batch) -> (params, opt_state,
     loss)`` step.
 
@@ -66,19 +67,29 @@ def make_train_step(loss_fn: Callable,
         if accum_steps == 1:
             loss, grads = jax.value_and_grad(lfn)(params, batch)
         else:
+            # f32 accumulators: bf16 running sums would round away small
+            # late microbatch contributions at large accum_steps.
             zeros = jax.tree.map(
-                lambda p: jax.numpy.zeros(p.shape, p.dtype), params)
+                lambda p: jax.numpy.zeros(p.shape, jax.numpy.float32),
+                params)
 
             def micro(carry, mb):
                 loss_acc, grads_acc = carry
                 loss, grads = jax.value_and_grad(lfn)(params, mb)
-                return (loss_acc + loss,
-                        jax.tree.map(jax.numpy.add, grads_acc, grads)), None
+                return (loss_acc + loss.astype(jax.numpy.float32),
+                        jax.tree.map(
+                            lambda a, g: a + g.astype(jax.numpy.float32),
+                            grads_acc, grads)), None
 
-            (loss, grads), _ = jax.lax.scan(micro, (0.0, zeros), batch)
+            # length= makes a batch whose leading axis != accum_steps an
+            # immediate shape error instead of a silent mis-scaling.
+            (loss, grads), _ = jax.lax.scan(
+                micro, (jax.numpy.float32(0.0), zeros), batch,
+                length=accum_steps)
             inv = 1.0 / accum_steps
             loss = loss * inv
-            grads = jax.tree.map(lambda g: g * inv, grads)
+            grads = jax.tree.map(
+                lambda g, p: (g * inv).astype(p.dtype), grads, params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

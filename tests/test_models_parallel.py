@@ -238,7 +238,8 @@ def test_train_step_param_spec_and_donate():
         return jnp.mean((batch @ params['w'])**2)
 
     opt = optax.adam(1e-2)
-    step = make_train_step(loss_fn, opt, mesh, param_spec=P(None, 'model'))
+    step = make_train_step(loss_fn, opt, mesh, param_spec=P(None, 'model'),
+                           donate=True)
     st = opt.init(w)
     x = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
     p, st, loss = step(w, st, x)

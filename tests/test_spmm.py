@@ -659,3 +659,26 @@ def test_weighted_fused_interpret_kernel():
     rows = np.repeat(np.arange(260), np.diff(rowptr))
     np.add.at(ref, rows, x[col] * w[:, None])
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
+
+
+def test_fused_range_bounds_gap_rejected():
+    from pyg_lib_tpu.ops.pallas.spmm_range_fused import (
+        build_fused_range_plan, )
+
+    rng = np.random.default_rng(27)
+    rowptr, col = _random_csr(rng, 100, 800)
+    with pytest.raises(ValueError, match='uncovered'):
+        build_fused_range_plan(rowptr, col, 100, 1, chunk=128,
+                               bounds=[(0, 30), (70, 100)])
+
+
+def test_sharded_auto_chunk():
+    rng = np.random.default_rng(28)
+    rowptr, col = _random_csr(rng, 300, 1200)
+    x = rng.normal(size=(300, 16)).astype(np.float32)
+    for rs in (1, 3):
+        graph = ops.build_spmm_graph_sharded(rowptr, col, 2, chunk='auto',
+                                             range_split=rs)
+        out = np.asarray(ops.spmm_sharded(jnp.asarray(x), graph))
+        np.testing.assert_allclose(out, _spmm_ref(x, rowptr, col),
+                                   atol=1e-3, rtol=1e-3)
