@@ -76,6 +76,7 @@ class NeighborLoader:
         self.drop_last = drop_last
         self.sample_kwargs = sample_kwargs
         self._epoch = 0
+        self._in_epoch = None
 
     def __len__(self) -> int:
         s = len(self.seeds)
@@ -109,8 +110,15 @@ class NeighborLoader:
         """Loader position for checkpointing (epoch granularity: the next
         ``__iter__`` after :meth:`load_state_dict` replays the exact
         permutation and sample streams the pre-checkpoint run would have
-        used — streams are pure functions of ``(rng, epoch, batch)``)."""
-        return {'epoch': int(self._epoch), 'rng': int(self.rng)}
+        used — streams are pure functions of ``(rng, epoch, batch)``).
+
+        A checkpoint taken MID-epoch records the epoch in progress, so
+        resume REPLAYS that epoch from its start (its early batches run
+        twice; none of its tail is silently dropped). Checkpoints at
+        epoch boundaries resume at the next epoch exactly."""
+        epoch = self._in_epoch if self._in_epoch is not None else \
+            self._epoch
+        return {'epoch': int(epoch), 'rng': int(self.rng)}
 
     def load_state_dict(self, state: Dict) -> None:
         if int(state.get('rng', self.rng)) != int(self.rng):
@@ -119,12 +127,14 @@ class NeighborLoader:
                 f'was built with rng={self.rng}; resume with the same '
                 'base seed for reproducible streams')
         self._epoch = int(state['epoch'])
+        self._in_epoch = None
 
     def __iter__(self) -> Iterator[Dict]:
         import jax
 
         epoch = self._epoch
         self._epoch += 1
+        self._in_epoch = epoch
         order = np.random.default_rng(self.rng + 7919 * epoch).permutation(
             len(self.seeds))
         nb = len(self)
@@ -165,6 +175,7 @@ class NeighborLoader:
                 if staged is not None:
                     yield staged
                 staged = nxt
+        self._in_epoch = None  # epoch fully consumed
 
 
 class HeteroNeighborLoader:
@@ -211,6 +222,7 @@ class HeteroNeighborLoader:
         self.drop_last = drop_last
         self.sample_kwargs = sample_kwargs
         self._epoch = 0
+        self._in_epoch = None
 
     def __len__(self) -> int:
         s = len(self.seeds)

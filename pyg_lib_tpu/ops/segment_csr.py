@@ -101,11 +101,12 @@ def _batched_flat_ids(ip2: Array, num_el: int, num_rows: int) -> Array:
 
     Elements outside their slice's ``[indptr[0], indptr[-1])`` get the
     out-of-range id ``L*R`` so ``mode='drop'`` scatters ignore them (they
-    must NOT fall into a neighbouring slice's rows)."""
+    must NOT fall into a neighbouring slice's rows; leading-gap ids come
+    back as ``-1`` from ``indptr_to_index``, trailing as ``R``)."""
     size_l = ip2.shape[0]
     ids = jax.vmap(lambda p: indptr_to_index(p, num_el))(ip2)
     base = (jnp.arange(size_l, dtype=jnp.int32) * num_rows)[:, None]
-    return jnp.where(ids < num_rows, ids + base,
+    return jnp.where((ids >= 0) & (ids < num_rows), ids + base,
                      jnp.int32(size_l * num_rows))
 
 
@@ -223,7 +224,7 @@ def _gather_csr_batched(src: Array, indptr: Array, out_size: int,
     ip2 = indptr_b.reshape((size_l, indptr.shape[-1]))
     ids = jax.vmap(lambda p: indptr_to_index(p, out_size))(ip2)
     base = (jnp.arange(size_l, dtype=jnp.int32) * num_rows)[:, None]
-    flat_ids = jnp.where(ids < num_rows, ids + base,
+    flat_ids = jnp.where((ids >= 0) & (ids < num_rows), ids + base,
                          jnp.int32(size_l * num_rows)).reshape(-1)
     src_flat = src.reshape((size_l * num_rows, ) + feat)
     safe = jnp.minimum(flat_ids, size_l * num_rows - 1)
@@ -264,9 +265,14 @@ def segment_sum_csr_(src: Array, indptr: Array) -> Array:
 
         return segment_sum_csr_pallas(src, indptr)
     ids = _segment_ids(indptr, src.shape[0])
-    out = jnp.zeros((num_rows, ) + src.shape[1:], dtype=src.dtype)
-    return out.at[ids].add(src, mode='drop', indices_are_sorted=True,
-                           unique_indices=False)
+    # ids+1 into a one-row-padded target: the leading-gap id (-1) must
+    # NOT reach .at[] directly — negative indices WRAP (NumPy semantics)
+    # before the mode='drop' OOB check, landing in the last row. Shifted,
+    # the gap is row 0 (trash, sliced off) and ids stay non-decreasing
+    # for the indices_are_sorted promise.
+    out = jnp.zeros((num_rows + 1, ) + src.shape[1:], dtype=src.dtype)
+    return out.at[ids + 1].add(src, mode='drop', indices_are_sorted=True,
+                               unique_indices=False)[1:]
 
 
 def _sum_fwd(src, indptr):
@@ -420,18 +426,24 @@ def _minmax_csr_fwd_impl(src, indptr, is_min):
     n = src.shape[0]
     ids = _segment_ids(indptr, n)
     ident = min_identity(src.dtype) if is_min else max_identity(src.dtype)
-    init = jnp.full((num_rows, ) + src.shape[1:], ident, dtype=src.dtype)
+    # ids+1 / padded row 0: see segment_sum_csr_ — a raw -1 gap id would
+    # WRAP into the last row before mode='drop' sees it.
+    init = jnp.full((num_rows + 1, ) + src.shape[1:], ident,
+                    dtype=src.dtype)
     if is_min:
-        vals = init.at[ids].min(src, mode='drop', indices_are_sorted=True)
+        vals = init.at[ids + 1].min(src, mode='drop',
+                                    indices_are_sorted=True)[1:]
     else:
-        vals = init.at[ids].max(src, mode='drop', indices_are_sorted=True)
-    picked = vals[ids]
+        vals = init.at[ids + 1].max(src, mode='drop',
+                                    indices_are_sorted=True)[1:]
+    picked = vals[jnp.clip(ids, 0, num_rows - 1)]
     pos = jnp.arange(n, dtype=jnp.int32).reshape((-1, ) + (1, ) *
                                                  (src.ndim - 1))
     pos = jnp.broadcast_to(pos, src.shape)
     cand = jnp.where(src == picked, pos, jnp.int32(n))
-    arg = jnp.full((num_rows, ) + src.shape[1:], jnp.int32(n)).at[ids].min(
-        cand, mode='drop', indices_are_sorted=True)
+    arg = jnp.full((num_rows + 1, ) + src.shape[1:],
+                   jnp.int32(n)).at[ids + 1].min(
+                       cand, mode='drop', indices_are_sorted=True)[1:]
     empty = (_row_counts(indptr) == 0).reshape((-1, ) + (1, ) *
                                                (src.ndim - 1))
     vals = jnp.where(empty, jnp.zeros_like(vals), vals)
@@ -520,9 +532,11 @@ def segment_max_csr(src: Array, indptr: Array,
 
 def gather_csr_impl(src: Array, indptr: Array, out_size: int) -> Array:
     ids = _segment_ids(indptr, out_size)
-    safe = jnp.minimum(ids, src.shape[0] - 1)
+    safe = jnp.clip(ids, 0, src.shape[0] - 1)
     result = jnp.take(src, safe, axis=0)
-    pad = (ids >= src.shape[0]).reshape((-1, ) + (1, ) * (src.ndim - 1))
+    # Out-of-range = trailing pad (id R) AND leading gap (id -1).
+    pad = ((ids < 0) | (ids >= src.shape[0])).reshape(
+        (-1, ) + (1, ) * (src.ndim - 1))
     return jnp.where(pad, jnp.zeros_like(result), result)
 
 
@@ -553,7 +567,7 @@ def gather_csr(src: Array, indptr: Array, out: Optional[Array] = None,
         # Only positions [0, indptr[-1]) are written; out's tail is kept
         # (reference writes in place, csrc/ops/cpu/segment_csr_kernel.cpp).
         ids = indptr_to_index(indptr, out_size)
-        written = (ids < indptr.shape[0] - 1).reshape(
+        written = ((ids >= 0) & (ids < indptr.shape[0] - 1)).reshape(
             (-1, ) + (1, ) * (src.ndim - 1))
         result = jnp.where(written, result.astype(out.dtype), out)
     return result

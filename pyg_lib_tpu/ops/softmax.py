@@ -33,13 +33,19 @@ def _softmax_fwd_impl(src: Array, ptr: Array, dim: int) -> Array:
     ids, num_groups = _group_ops(src, ptr, dim)
     src_m = jnp.moveaxis(src, dim, 0)
     neg_inf = jnp.array(-jnp.inf, src.dtype)
-    gmax = jnp.full((num_groups, ) + src_m.shape[1:], neg_inf, src.dtype)
-    gmax = gmax.at[ids].max(src_m, mode='drop', indices_are_sorted=True)
-    centered = src_m - gmax[ids]
+    # ids+1 / padded row 0: a raw -1 leading-gap id would WRAP into the
+    # last group before mode='drop' sees it (see segment_csr).
+    gmax = jnp.full((num_groups + 1, ) + src_m.shape[1:], neg_inf,
+                    src.dtype)
+    gmax = gmax.at[ids + 1].max(src_m, mode='drop',
+                                indices_are_sorted=True)[1:]
+    safe = jnp.clip(ids, 0, num_groups - 1)
+    centered = src_m - gmax[safe]
     e = jnp.exp(centered)
-    gsum = jnp.zeros((num_groups, ) + src_m.shape[1:], src.dtype)
-    gsum = gsum.at[ids].add(e, mode='drop', indices_are_sorted=True)
-    out_m = e / gsum[ids]
+    gsum = jnp.zeros((num_groups + 1, ) + src_m.shape[1:], src.dtype)
+    gsum = gsum.at[ids + 1].add(e, mode='drop',
+                                indices_are_sorted=True)[1:]
+    out_m = e / gsum[safe]
     return jnp.moveaxis(out_m, 0, dim)
 
 
@@ -61,9 +67,10 @@ def _softmax_vjp_bwd(dim, res, g):
     out_m = jnp.moveaxis(out, dim, 0)
     g_m = jnp.moveaxis(g, dim, 0)
     prod = out_m * g_m
-    gsum = jnp.zeros((num_groups, ) + out_m.shape[1:], out.dtype)
-    gsum = gsum.at[ids].add(prod, mode='drop', indices_are_sorted=True)
-    grad_m = out_m * (g_m - gsum[ids])
+    gsum = jnp.zeros((num_groups + 1, ) + out_m.shape[1:], out.dtype)
+    gsum = gsum.at[ids + 1].add(prod, mode='drop',
+                                indices_are_sorted=True)[1:]
+    grad_m = out_m * (g_m - gsum[jnp.clip(ids, 0, num_groups - 1)])
     return jnp.moveaxis(grad_m, 0, dim), None
 
 

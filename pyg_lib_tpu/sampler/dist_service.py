@@ -324,15 +324,16 @@ class HeteroDistNeighborSampler:
                     0, np.int64)
                 orders = np.zeros(len(fr), np.int64)
                 requests = {}
+                # Stable across interpreters (hash() of str is
+                # PYTHONHASHSEED-randomised, which would break
+                # cross-run/cross-host reproducibility); constant per
+                # edge type, so computed once outside the partition loop.
+                k_hash = zlib.crc32('__'.join(k).encode())
                 for p in range(g.books[own_t].num_partitions):
                     mask = owner == p
                     orders[mask] = np.arange(int(mask.sum()))
                     if mask.any():
                         lo = int(g.books[own_t].bounds[p])
-                        # Stable across interpreters (hash() of str is
-                        # PYTHONHASHSEED-randomised, which would break
-                        # cross-run/cross-host reproducibility).
-                        k_hash = zlib.crc32('__'.join(k).encode())
                         rng_seed = (self.rng * 1_000_003 +
                                     self._step * 101 + ell * 7919 +
                                     k_hash % 1000 + p)

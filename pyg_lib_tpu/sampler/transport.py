@@ -23,6 +23,8 @@ replace, impl)`` / ``('stop',)``.
 """
 
 import os
+import secrets
+import shutil
 import tempfile
 import uuid
 from multiprocessing.connection import Client, Listener
@@ -32,10 +34,8 @@ import numpy as np
 
 __all__ = ['SamplingService', 'serve_partition']
 
-_AUTHKEY = b'pyg-lib-tpu-sampling'
 
-
-def _worker_main(address, ready, payload):
+def _worker_main(address, ready, payload, authkey):
     """Partition server process: owns one partition's CSR slices and
     answers one-hop sample requests until ``('stop',)``."""
     # Workers are pure host-side numpy/C++: make sure the child never
@@ -48,7 +48,7 @@ def _worker_main(address, ready, payload):
     col = payload.get('col')
     hetero = payload.get('hetero', {})  # edge_type -> (rowptr, col)
 
-    with Listener(address, authkey=_AUTHKEY) as listener:
+    with Listener(address, authkey=authkey) as listener:
         ready.send('ready')
         ready.close()
         with listener.accept() as conn:
@@ -77,15 +77,29 @@ def _worker_main(address, ready, payload):
                     conn.send(('error', f'{type(e).__name__}: {e}'))
 
 
-def serve_partition(address, payload):
+def serve_partition(address, payload, authkey: bytes = None):
     """Run a partition server in THIS process (blocking) — the entry
     point a real pod deployment launches per host, with ``address`` a
     ``(host, port)`` TCP tuple and ``payload`` loaded from the
-    partitioned graph store."""
+    partitioned graph store.
+
+    ``authkey`` is REQUIRED: ``multiprocessing.connection`` transports
+    pickles, and unpickling attacker bytes is arbitrary code execution —
+    the HMAC challenge keyed on this shared secret is the only thing
+    keeping unauthenticated peers off the port. Deployments must
+    generate one secret (e.g. ``secrets.token_bytes(32)``) and pass the
+    same value to every ``serve_partition`` and
+    ``SamplingService.connect``.
+    """
     from multiprocessing import Pipe
 
+    if not authkey:
+        raise ValueError(
+            'serve_partition requires an explicit authkey (shared '
+            'secret); the connection unpickles peer data, so it must '
+            'never accept unauthenticated peers')
     a, b = Pipe()
-    _worker_main(address, b, payload)
+    _worker_main(address, b, payload, authkey)
     a.close()
 
 
@@ -101,9 +115,11 @@ class SamplingService:
     requests before collecting any reply.
     """
 
-    def __init__(self, conns: Sequence, procs: Sequence = ()):
+    def __init__(self, conns: Sequence, procs: Sequence = (),
+                 tmpdir: Optional[str] = None):
         self._conns = list(conns)
         self._procs = list(procs)
+        self._tmpdir = tmpdir
 
     # -- construction --------------------------------------------------
 
@@ -115,13 +131,18 @@ class SamplingService:
         ctx = mp.get_context('spawn')
         payloads = _payloads_for(graph)
         tmp = tempfile.mkdtemp(prefix='pygt_svc_')
+        # Fresh secret per service: the key only ever travels through
+        # the spawn pickle to our own children, never a constant in
+        # public source.
+        authkey = secrets.token_bytes(32)
         procs, conns = [], []
         pending = []
         for p, payload in enumerate(payloads):
             address = os.path.join(tmp, f'part{p}_{uuid.uuid4().hex}.sock')
             a, b = ctx.Pipe()
             proc = ctx.Process(target=_worker_main,
-                               args=(address, b, payload), daemon=True)
+                               args=(address, b, payload, authkey),
+                               daemon=True)
             proc.start()
             b.close()
             pending.append((a, address))
@@ -130,14 +151,20 @@ class SamplingService:
             if a.recv() != 'ready':  # pragma: no cover
                 raise RuntimeError('partition server failed to start')
             a.close()
-            conns.append(Client(address, authkey=_AUTHKEY))
-        return cls(conns, procs)
+            conns.append(Client(address, authkey=authkey))
+        return cls(conns, procs, tmpdir=tmp)
 
     @classmethod
-    def connect(cls, addresses: Sequence) -> 'SamplingService':
+    def connect(cls, addresses: Sequence,
+                authkey: bytes = None) -> 'SamplingService':
         """Attach to running servers; ``addresses[p]`` serves partition
-        ``p`` (TCP ``(host, port)`` tuples for multi-host pods)."""
-        return cls([Client(a, authkey=_AUTHKEY) for a in addresses])
+        ``p`` (TCP ``(host, port)`` tuples for multi-host pods).
+        ``authkey`` must be the shared secret the servers were started
+        with (see :func:`serve_partition`)."""
+        if not authkey:
+            raise ValueError('SamplingService.connect requires the '
+                             'authkey the servers were started with')
+        return cls([Client(a, authkey=authkey) for a in addresses])
 
     # -- calls ---------------------------------------------------------
 
@@ -151,13 +178,19 @@ class SamplingService:
         partitions sample concurrently)."""
         for p, req in requests.items():
             self._conns[p].send(req)
-        out = {}
+        out, errors = {}, []
+        # Drain EVERY reply before raising: leaving replies queued would
+        # desynchronise the per-connection FIFO, silently pairing later
+        # requests with stale results.
         for p in requests:
             status, *rest = self._conns[p].recv()
             if status != 'ok':
-                raise RuntimeError(
+                errors.append(
                     f'partition {p} failed: {rest[0] if rest else ""}')
-            out[p] = rest[0] if rest else None
+            else:
+                out[p] = rest[0] if rest else None
+        if errors:
+            raise RuntimeError('; '.join(errors))
         return out
 
     def close(self):
@@ -173,6 +206,9 @@ class SamplingService:
             if pr.is_alive():  # pragma: no cover
                 pr.terminate()
         self._conns, self._procs = [], []
+        if self._tmpdir is not None:
+            shutil.rmtree(self._tmpdir, ignore_errors=True)
+            self._tmpdir = None
 
     def __enter__(self):
         return self

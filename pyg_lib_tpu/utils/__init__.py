@@ -81,18 +81,25 @@ def indptr_to_index(indptr: Array, num_elements: int) -> Array:
     """Expand a CSR ``indptr`` of shape ``[R+1]`` to per-element segment ids
     of shape ``[num_elements]`` (``num_elements`` static).
 
-    Elements at positions >= indptr[-1] (padding) or < indptr[0] get segment
-    id ``R`` — one-past-the-last segment — so downstream reductions with
-    ``num_segments=R`` drop them.  Matches the reference's row loops, which
-    only consume ``[indptr[r], indptr[r+1])`` (reference
+    Elements at positions >= indptr[-1] (padding) get segment id ``R`` and
+    positions < indptr[0] (leading gap) get ``-1`` — both out of range, so
+    downstream ``mode='drop'`` scatters with ``num_segments=R`` drop them.
+    Matches the reference's row loops, which only consume
+    ``[indptr[r], indptr[r+1])`` (reference
     ``csrc/ops/cpu/segment_csr_kernel.cpp:96-130``: positions outside
     ``[indptr[0], indptr[-1])`` contribute to no row).
+
+    The ids are NON-DECREASING (``-1`` leads, ``R`` trails): callers may
+    pass ``indices_are_sorted=True`` to scatters. The leading gap must
+    NOT map to ``R`` — that would put the largest id first and break the
+    sortedness promise, which is undefined behavior in XLA scatter on
+    TPU (the CPU backend ignores the hint, so tests alone can't catch
+    it).
     """
     positions = jnp.arange(num_elements, dtype=indptr.dtype)
     ids = jnp.searchsorted(indptr[1:], positions, side='right').astype(
         jnp.int32)
-    num_rows = indptr.shape[0] - 1
-    return jnp.where(positions < indptr[0], jnp.int32(num_rows), ids)
+    return jnp.where(positions < indptr[0], jnp.int32(-1), ids)
 
 
 def index_to_indptr(index: Array, size: int) -> Array:

@@ -230,3 +230,37 @@ def test_sampling_service_error_propagates_and_survives():
             {0: ('sample', np.array([0], np.int64), 1, 7, False, 'auto')})
         nodes, eids, cumsum = out[0]
         assert nodes[0] == 0 and len(cumsum) == 2
+
+
+def test_sampling_service_drains_replies_on_partial_error():
+    """A failed partition must not desynchronise the OTHER partitions'
+    reply FIFOs: the next scatter still pairs requests with their own
+    replies."""
+    from pyg_lib_tpu.sampler.dist_service import partition_graph
+    from pyg_lib_tpu.sampler.transport import SamplingService
+
+    rowptr = np.array([0, 1, 2, 3, 4], np.int64)
+    col = np.array([1, 0, 3, 2], np.int64)
+    graph = partition_graph(rowptr, col, 2)
+    good = ('sample', np.array([0], np.int64), 1, 7, False, 'auto')
+    with SamplingService.spawn(graph) as svc:
+        with pytest.raises(RuntimeError, match='partition 0 failed'):
+            svc.scatter({0: ('bogus_op', ), 1: good})
+        # Both connections are drained: a fresh scatter returns fresh,
+        # correctly-attributed results from both partitions.
+        out = svc.scatter({
+            0: good,
+            1: ('sample', np.array([0], np.int64), 1, 9, False, 'auto'),
+        })
+        n0 = out[0][0]
+        n1 = out[1][0]
+        assert n0[0] == 0 and n1[0] == 0
+
+
+def test_transport_requires_authkey_for_connect():
+    from pyg_lib_tpu.sampler.transport import SamplingService, serve_partition
+
+    with pytest.raises(ValueError, match='authkey'):
+        SamplingService.connect([('127.0.0.1', 1)])
+    with pytest.raises(ValueError, match='authkey'):
+        serve_partition(('127.0.0.1', 1), {})

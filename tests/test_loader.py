@@ -263,3 +263,30 @@ def test_checkpoint_saves_loader_state(tmp_path):
     _, meta = restore_checkpoint(str(tmp_path / 'c'), params, loader=fresh)
     assert meta['step'] == 2
     assert fresh.state_dict() == loader.state_dict()
+
+
+def test_loader_mid_epoch_state_replays_epoch():
+    """A checkpoint taken mid-epoch resumes by REPLAYING the in-progress
+    epoch (none of its tail is silently dropped)."""
+    rowptr, col = _graph()
+    x = np.zeros((200, 4), np.float32)
+
+    def make():
+        return NeighborLoader(rowptr, col, x, None, seeds=np.arange(48),
+                              batch_size=16, num_neighbors=[2],
+                              num_workers=1, rng=9)
+
+    a = make()
+    list(a)  # epoch 0 fully consumed
+    it = iter(a)  # epoch 1 in progress...
+    first = np.asarray(next(it)['rowptr'])
+    state = a.state_dict()
+    assert state['epoch'] == 1  # NOT 2: epoch 1 was never finished
+
+    b = make()
+    b.load_state_dict(state)
+    replayed = [np.asarray(bb['rowptr']) for bb in b]
+    np.testing.assert_array_equal(replayed[0], first)
+    # and a boundary checkpoint still resumes at the NEXT epoch
+    list(it)
+    assert a.state_dict()['epoch'] == 2

@@ -309,3 +309,22 @@ def test_segment_csr_batched_minmax_out_merge():
     # -100 always wins min -> arg sentinel everywhere
     np.testing.assert_array_equal(np.asarray(arg), np.full((2, 3, 2), 5))
     np.testing.assert_allclose(np.asarray(vals), -base)
+
+
+def test_indptr_to_index_sorted_with_leading_gap():
+    """Leading-gap ids must be -1 (OOB-dropped) so the id sequence stays
+    non-decreasing: scatters pass indices_are_sorted=True, and a
+    violated sortedness promise is undefined behavior in XLA scatter on
+    TPU (invisible on the CPU test backend, which ignores the hint)."""
+    from pyg_lib_tpu.utils import indptr_to_index
+
+    ids = np.asarray(indptr_to_index(jnp.asarray([2, 4, 4, 7]), 9))
+    np.testing.assert_array_equal(ids, [-1, -1, 0, 0, 2, 2, 2, 3, 3])
+    assert (np.diff(ids) >= 0).all()
+    # Gap + pad elements contribute to no row; gather returns 0 there.
+    src = jnp.arange(9.0)[:, None]
+    out = np.asarray(ops.segment_sum_csr(src, jnp.asarray([2, 4, 4, 7])))
+    np.testing.assert_array_equal(out[:, 0], [2 + 3, 0, 4 + 5 + 6])
+    g = np.asarray(ops.gather_csr(jnp.asarray([[1.], [2.], [3.]]),
+                                  jnp.asarray([2, 4, 4, 7]), out_size=9))
+    np.testing.assert_array_equal(g[:, 0], [0, 0, 1, 1, 3, 3, 3, 0, 0])
