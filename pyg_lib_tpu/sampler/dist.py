@@ -219,9 +219,13 @@ def hetero_relabel_neighborhood(
 
     rows = {k: [] for k in edge_types}
     cols = {k: [] for k in edge_types}
-    # Per-edge-type read position into its merged node stream, and per-src
-    # local id base per layer.
-    pos = {k: 0 for k in edge_types}
+    # Per-DST-TYPE read position into that type's merged node stream: the
+    # stream concatenates every edge type's (and layer's) merged output in
+    # coordinator append order, so edge types sharing a dst type must
+    # advance ONE shared cursor (reference slice_dict,
+    # dist_relabel_kernel.cpp:219-233) — a per-edge-type cursor would
+    # re-read another edge type's region.
+    pos = {t: 0 for t in node_types}
     num_layers = max(
         (len(v) for v in num_sampled_neighbors_per_node_dict.values()),
         default=0)
@@ -238,7 +242,7 @@ def hetero_relabel_neighborhood(
             nodes = np.asarray(sampled_nodes_with_duplicates_dict[dst])
             bt = (np.asarray(batch_dict[dst])
                   if disjoint and batch_dict is not None else None)
-            p = pos[k]
+            p = pos[dst]
             for i, n in enumerate(counts):
                 local_src = src_base[src] + i
                 for j in range(p, p + int(n)):
@@ -251,7 +255,7 @@ def hetero_relabel_neighborhood(
                     rows[k].append(local_src)
                     cols[k].append(res)
                 p += int(n)
-            pos[k] = p
+            pos[dst] = p
             # Same-src edge types may report different per-layer list
             # lengths; the frontier advances by the LARGEST reported
             # count (setdefault's first-wins misnumbered later layers).

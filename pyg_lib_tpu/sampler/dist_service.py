@@ -150,6 +150,13 @@ class DistNeighborSampler:
         sampled_with_dupes: List[np.ndarray] = []
         counts_per_node: List[int] = []
         nodes_per_hop = [len(seeds)]
+        # Mirror of relabel's mapper: the next hop expands the NEW unique
+        # nodes in first-seen order (the single-machine sampler's sliding
+        # window over deduped locals). Expanding the raw merged stream
+        # would misalign relabel's row ids, which assume the i-th count
+        # belongs to mapper-local i (duplicate frontier nodes shift every
+        # later row).
+        seen = set(int(v) for v in seeds)
         for hop, fanout in enumerate(fanouts):
             owner = self.graph.book.owner(frontier)
             partition_ids = owner
@@ -180,8 +187,15 @@ class DistNeighborSampler:
                 self.graph.book.num_partitions, fanout)
             sampled_with_dupes.append(merged_nodes)
             counts_per_node.extend(counts)
-            frontier = merged_nodes
-            nodes_per_hop.append(len(merged_nodes))
+            new = []
+            for v in merged_nodes.tolist():
+                if v not in seen:
+                    seen.add(v)
+                    new.append(v)
+            frontier = np.asarray(new, np.int64)
+            # Per-hop counts are NEW unique nodes, like the single-machine
+            # sampler's num_sampled_nodes_per_hop.
+            nodes_per_hop.append(len(new))
         self._step += 1
         all_sampled = (np.concatenate(sampled_with_dupes)
                        if sampled_with_dupes else np.zeros(0, np.int64))
@@ -310,6 +324,12 @@ class HeteroDistNeighborSampler:
                                   np.int64) for t in node_types}
         streams = {t: [] for t in node_types}  # sampled w/ dupes per type
         counts_dict = {k: [] for k in edge_types}
+        # Per-type mirror of relabel's mappers: the next layer expands
+        # only NEW unique nodes in first-seen (mapper-insertion) order —
+        # relabel's src locals for layer ell+1 are exactly the locals
+        # allocated in layer ell (reference srcs_slice_dict advance,
+        # dist_relabel_kernel.cpp:240-258).
+        seen = {t: set(int(v) for v in frontier[t]) for t in node_types}
 
         for ell in range(num_layers):
             new_frontier = {t: [] for t in node_types}
@@ -358,9 +378,12 @@ class HeteroDistNeighborSampler:
                     g.books[own_t].num_partitions, fanout)
                 counts_dict[k].append(counts)
                 streams[nbr_t].append(merged)
-                new_frontier[nbr_t].append(merged)
+                for v in merged.tolist():
+                    if v not in seen[nbr_t]:
+                        seen[nbr_t].add(v)
+                        new_frontier[nbr_t].append(v)
             frontier = {
-                t: (np.concatenate(v) if v else np.zeros(0, np.int64))
+                t: np.asarray(v, np.int64)
                 for t, v in new_frontier.items()
             }
 

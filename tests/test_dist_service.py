@@ -264,3 +264,68 @@ def test_transport_requires_authkey_for_connect():
         SamplingService.connect([('127.0.0.1', 1)])
     with pytest.raises(ValueError, match='authkey'):
         serve_partition(('127.0.0.1', 1), {})
+
+
+def test_dist_sampler_duplicate_frontier_rows():
+    """Duplicate sampled nodes must not shift relabel row ids: the next
+    hop expands NEW unique nodes only (mapper order), like the
+    single-machine sampler's sliding window."""
+    from pyg_lib_tpu.sampler.dist_service import (DistNeighborSampler,
+                                                  partition_graph)
+
+    # 0 -> 5, 5 -> 7 on 8 nodes.
+    rowptr = np.array([0, 1, 1, 1, 1, 1, 2, 2, 2], np.int64)
+    col = np.array([5, 7], np.int64)
+    graph = partition_graph(rowptr, col, 2)
+    s = DistNeighborSampler(graph, rng=0, replace=True)
+    row, c, node_id, per_hop = s.sample(np.array([0], np.int64), [2, 1])
+    # hop 0: node 0 draws [5, 5]; hop 1 expands the UNIQUE node 5 once.
+    np.testing.assert_array_equal(node_id, [0, 5, 7])
+    np.testing.assert_array_equal(row, [0, 0, 1])
+    np.testing.assert_array_equal(c, [1, 1, 2])
+    # per-hop counts are NEW unique nodes (single-machine semantics):
+    # hop 0 discovers {5} once despite drawing it twice.
+    assert per_hop == [1, 1, 1]
+
+
+def test_hetero_relabel_shared_dst_cursor():
+    """Two edge types ending at the same dst type read disjoint regions
+    of the shared per-type node stream (one cursor per dst type)."""
+    from pyg_lib_tpu.sampler.dist import hetero_relabel_neighborhood
+
+    node_types = ['A', 'B', 'T']
+    edge_types = [('A', 'r1', 'T'), ('B', 'r2', 'T')]
+    seed = {'A': np.array([0]), 'B': np.array([0]),
+            'T': np.zeros(0, np.int64)}
+    # Coordinator appends r1's merged output then r2's into T's stream.
+    sampled = {'A': np.zeros(0, np.int64), 'B': np.zeros(0, np.int64),
+               'T': np.array([3, 4, 7, 8], np.int64)}
+    counts = {('A', 'r1', 'T'): [[2]], ('B', 'r2', 'T'): [[2]]}
+    rows, cols = hetero_relabel_neighborhood(
+        node_types, edge_types, seed, sampled, counts,
+        {'A': 1, 'B': 1, 'T': 10})
+    np.testing.assert_array_equal(cols[('A', 'r1', 'T')], [0, 1])  # 3, 4
+    np.testing.assert_array_equal(cols[('B', 'r2', 'T')], [2, 3])  # 7, 8
+
+
+def test_hetero_dist_sampler_shared_dst_type():
+    """End-to-end: two relations into one dst type produce the correct
+    per-relation cols (ogbn-mag's cites/writes shape)."""
+    from pyg_lib_tpu.sampler.dist_service import (
+        HeteroDistNeighborSampler, partition_hetero_graph)
+
+    rowptr_d = {('A', 'r1', 'T'): np.array([0, 2], np.int64),
+                ('B', 'r2', 'T'): np.array([0, 2], np.int64)}
+    col_d = {('A', 'r1', 'T'): np.array([3, 4], np.int64),
+             ('B', 'r2', 'T'): np.array([7, 8], np.int64)}
+    nn = {'A': 1, 'B': 1, 'T': 10}
+    g = partition_hetero_graph(rowptr_d, col_d, nn, 1)
+    s = HeteroDistNeighborSampler(g, rng=0)
+    rows, cols, node_id = s.sample(
+        {'A': np.array([0]), 'B': np.array([0])},
+        {('A', 'r1', 'T'): [2], ('B', 'r2', 'T'): [2]})
+    np.testing.assert_array_equal(np.sort(node_id['T']), [3, 4, 7, 8])
+    got_r1 = node_id['T'][cols[('A', 'r1', 'T')]]
+    got_r2 = node_id['T'][cols[('B', 'r2', 'T')]]
+    np.testing.assert_array_equal(np.sort(got_r1), [3, 4])
+    np.testing.assert_array_equal(np.sort(got_r2), [7, 8])
