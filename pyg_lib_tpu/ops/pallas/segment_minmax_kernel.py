@@ -39,7 +39,10 @@ from pyg_lib_tpu.ops.pallas.spmm_chunked import (PTR_SUB, TP, TR, SpmmPlan,
 __all__ = ['segment_max_planned_exact',
            'segment_max_sum_planned_exact']
 
-NEG = -3e38  # below every finite f32; still finite so compares are clean
+NEG = -jnp.inf  # below every f32 value: -3e38 was NOT (finite f32 goes
+# to ~-3.4e38, and masked logits legitimately carry -inf), which made
+# the kernel report the mask value for such rows.
+POS_NONE = 1 << 30  # argpos sentinel for chunks where a row is absent
 
 
 def _extract16(sel, chan):
@@ -125,6 +128,10 @@ def _minmax_kernel(chunk_tile, ptr_ref, x_ref, val_ref, pos_ref,
         jnp.float32)
     new_val = jnp.where(present, new_val, NEG)
     new_pos = (p_hi.astype(jnp.int32) << 16) | p_lo.astype(jnp.int32)
+    # Rows absent from this chunk must never win the cross-chunk merge:
+    # their value ties at NEG with rows whose TRUE max is -inf, so the
+    # tie-break below must see an infinitely-late position.
+    new_pos = jnp.where(present, new_pos, jnp.int32(POS_NONE))
 
     if sum_ref is not None:
         member_b = member.astype(jnp.bfloat16)
@@ -143,8 +150,11 @@ def _minmax_kernel(chunk_tile, ptr_ref, x_ref, val_ref, pos_ref,
         old_val = val_ref[:]
         old_pos = pos_ref[:]
         # Later chunks sit at strictly larger padded positions, so on a
-        # value tie the earlier (old) winner keeps first-occurrence order.
-        take = new_val > old_val
+        # value tie the earlier (old) winner keeps first-occurrence
+        # order; the position tie-break matters when the row's true max
+        # is -inf (ties NEG from absent chunks, whose pos is POS_NONE).
+        take = (new_val > old_val) | ((new_val == old_val) &
+                                      (new_pos < old_pos))
         val_ref[:] = jnp.where(take, new_val, old_val)
         pos_ref[:] = jnp.where(take, new_pos, old_pos)
         if sum_ref is not None:
@@ -197,18 +207,65 @@ def _minmax_padded(x_padded, chunk_tile, tile_ptr, num_rows: int, chunk: int,
     return tuple(o[:num_rows] for o in outs)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _minmax_padded_xla(x_padded, chunk_tile, tile_ptr, num_rows: int,
+                       chunk: int, with_sum: bool = False):
+    """Jitted pure-XLA equivalent of the Mosaic kernel (same plan layout,
+    same (values, padded positions) contract) for non-TPU backends — the
+    interpreter re-executes its Python loop per call (the failure mode
+    the sum kernel's XLA fallback fixed; this is the min/max analog)."""
+    e_pad = x_padded.shape[0]
+    s = jnp.arange(e_pad, dtype=jnp.int32)
+    t = chunk_tile[s // chunk]
+    bounds = tile_ptr[:, 0, :TR + 1]
+    b = bounds[t]
+    row_local = jax.vmap(
+        lambda bb, ss: jnp.searchsorted(bb, ss, side='right'))(b, s) - 1
+    valid = (row_local >= 0) & (row_local < TR) & (s < b[:, TR]) & (
+        s >= b[:, 0])
+    r_pad = tile_ptr.shape[0] * TR
+    row = jnp.where(valid, t * TR + row_local, r_pad)
+    xf = x_padded.astype(jnp.float32)
+    vals = jnp.full((r_pad + 1, ) + xf.shape[1:], NEG, jnp.float32)
+    vals = vals.at[row].max(jnp.where(valid[:, None], xf, NEG),
+                            mode='drop')
+    picked = vals[jnp.minimum(row, r_pad)]
+    cand = jnp.where(valid[:, None] & (xf == picked), s[:, None],
+                     jnp.int32(POS_NONE))
+    pos = jnp.full((r_pad + 1, ) + xf.shape[1:], jnp.int32(POS_NONE))
+    pos = pos.at[row].min(cand, mode='drop')
+    outs = [vals[:num_rows], pos[:num_rows]]
+    if with_sum:
+        sums = jnp.zeros((r_pad + 1, ) + xf.shape[1:], jnp.float32)
+        sums = sums.at[row].add(jnp.where(valid[:, None], xf, 0.0),
+                                mode='drop')
+        outs.append(sums[:num_rows])
+    return tuple(outs)
+
+
 def segment_max_planned_exact(x_padded: jax.Array, plan: SpmmPlan,
                               interpret=None):
     """Bit-exact per-row maxima + first-winner padded positions.
 
     Returns ``(values [N, F] f32, padded_pos [N, F] int32)``. Rows with no
-    valid slots get ``values = NEG`` and an arbitrary position — callers
+    valid slots get ``values = NEG`` and position ``POS_NONE`` — callers
     apply the reference empty-row contract (value 0 / sentinel argindex)
     using their row-degree mask. For min, negate the input and the
     returned values.
+
+    TPU: the Mosaic kernel. Elsewhere: a jitted XLA equivalent (pass
+    ``interpret=True`` to force the Pallas interpreter, as kernel unit
+    tests do).
     """
     if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
+        if jax.default_backend() != 'tpu':
+            return _minmax_padded_xla(x_padded, plan.chunk_tile,
+                                      plan.tile_ptr, plan.num_rows,
+                                      plan.chunk)
+        interpret = False
     val, pos = _minmax_padded(x_padded, plan.chunk_tile, plan.tile_ptr,
                               plan.num_rows, plan.chunk, interpret)
     return val, pos
@@ -221,7 +278,11 @@ def segment_max_sum_planned_exact(x_padded: jax.Array, plan: SpmmPlan,
     ``pyg_lib/ops/scatter_reduce.py:15-181``): the HBM read is shared by
     the order statistic and the sum instead of one pass per reduction."""
     if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
+        if jax.default_backend() != 'tpu':
+            return _minmax_padded_xla(x_padded, plan.chunk_tile,
+                                      plan.tile_ptr, plan.num_rows,
+                                      plan.chunk, with_sum=True)
+        interpret = False
     return _minmax_padded(x_padded, plan.chunk_tile, plan.tile_ptr,
                           plan.num_rows, plan.chunk, interpret,
                           with_sum=True)

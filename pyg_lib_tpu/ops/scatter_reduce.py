@@ -54,8 +54,11 @@ def _use_fused(inputs, index, reduce_list) -> bool:
         return False
     if inputs.shape[1] % 128 or inputs.shape[0] < _FUSED_MIN_ROWS:
         return False
-    if isinstance(index, jax.core.Tracer):
-        return False  # plans need a concrete index
+    if not isinstance(index, (np.ndarray, list, tuple)):
+        # Tracers can't be inspected; DEVICE arrays would pay an O(E)
+        # device->host readback (~0.1 MB/s tunnel) on every call just to
+        # test sortedness — plans need host indices anyway.
+        return False
     idx = np.asarray(index)
     return bool(len(idx) == inputs.shape[0] and (np.diff(idx) >= 0).all())
 

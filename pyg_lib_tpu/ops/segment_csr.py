@@ -47,12 +47,15 @@ __all__ = [
 def _check_indptr(indptr: Array):
     if indptr.ndim < 1:
         raise ValueError('indptr must have at least 1 dimension')
-    # Concrete indptrs are validated (a non-monotonic indptr silently
-    # produces garbage segments — reference TORCH_CHECK role); tracers
-    # cannot be inspected without a device sync and pass through.
-    if not isinstance(indptr, jax.core.Tracer):
-        import numpy as np
+    # HOST indptrs are validated (a non-monotonic indptr silently
+    # produces garbage segments — reference TORCH_CHECK role). Tracers
+    # cannot be inspected, and DEVICE arrays are deliberately skipped:
+    # np.asarray on a device array is a device->host readback that runs
+    # at ~0.1 MB/s through the axon tunnel (~80 s for a 1M-row indptr on
+    # every eager call).
+    import numpy as np
 
+    if isinstance(indptr, (np.ndarray, list, tuple)):
         ip = np.asarray(indptr)
         if ip.shape[-1] and (np.diff(ip, axis=-1) < 0).any():
             raise ValueError('indptr must be non-decreasing')

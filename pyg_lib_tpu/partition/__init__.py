@@ -34,15 +34,20 @@ def edge_cut(rowptr, col, part, edge_weight=None) -> float:
     return float(np.asarray(edge_weight)[crossing].sum())
 
 
-def _grow(rowptr, col, nw, k, rng, nodes=None):
-    """Balanced multi-source BFS region growing over ``nodes`` (or all)."""
+def _grow(rowptr, col, nw, k, rng, nodes=None, targets=None):
+    """Balanced multi-source BFS region growing over ``nodes`` (or all).
+
+    ``targets`` optionally gives per-part weight targets (default equal
+    shares) — recursive bisection needs PROPORTIONAL targets when the
+    two sides must host unequal partition counts (odd k)."""
     from collections import deque
 
     n = len(rowptr) - 1
     sub = np.arange(n) if nodes is None else np.asarray(nodes)
     in_sub = np.zeros(n, bool)
     in_sub[sub] = True
-    target = nw[sub].sum() / k
+    if targets is None:
+        targets = np.full(k, nw[sub].sum() / k)
     part = np.full(n, -1, np.int64)
     load = np.zeros(k)
     seeds = rng.choice(sub, size=min(k, len(sub)), replace=False)
@@ -54,7 +59,7 @@ def _grow(rowptr, col, nw, k, rng, nodes=None):
     while active:
         active = False
         for p in range(k):
-            if load[p] >= target or not queues[p]:
+            if load[p] >= targets[p] or not queues[p]:
                 continue
             v = queues[p].popleft()
             active = True
@@ -67,7 +72,7 @@ def _grow(rowptr, col, nw, k, rng, nodes=None):
             if queues[p]:
                 active = True
     for v in sub[part[sub] < 0]:
-        p = int(np.argmin(load))
+        p = int(np.argmin(load / np.maximum(targets, 1e-12)))
         part[v] = p
         load[p] += nw[v]
     return part[sub], load
@@ -139,10 +144,16 @@ def metis(rowptr, col, num_partitions: int, node_weight=None,
             if k_hi - k_lo == 1:
                 part[nodes] = offset
                 return
-            sub_part, _ = _grow(rowptr, col, nw, 2, rng, nodes)
+            mid = (k_lo + k_hi) // 2
+            # Proportional weight targets: odd k puts more partitions
+            # (hence more weight) on one side; a 50/50 bisection would
+            # leave that side's partitions ~2x overloaded.
+            w = nw[nodes].sum()
+            frac = (mid - k_lo) / (k_hi - k_lo)
+            sub_part, _ = _grow(rowptr, col, nw, 2, rng, nodes,
+                                targets=np.array([frac, 1.0 - frac]) * w)
             left = nodes[sub_part == 0]
             right = nodes[sub_part == 1]
-            mid = (k_lo + k_hi) // 2
             bisect(left, k_lo, mid, offset)
             bisect(right, mid, k_hi, offset + (mid - k_lo))
 

@@ -102,6 +102,11 @@ class DistNeighborSampler:
         self.impl = impl
         self.service = service  # transport.SamplingService (else in-proc)
         self._step = 0
+        # Global edge id of each partition's first local edge (partition
+        # CSRs are contiguous row-range slices of the global CSR).
+        sizes = [len(c) for c in graph.col_parts]
+        self._edge_off = np.concatenate(
+            [[0], np.cumsum(sizes)]).astype(np.int64)
 
     def _sample_partition(self, p: int, seeds: np.ndarray,
                           num_neighbors: int, rng_seed: int):
@@ -115,7 +120,9 @@ class DistNeighborSampler:
         # Local seeds echo first in `nodes`; cols are already global.
         nodes = nodes.copy()
         nodes[:len(seeds)] += lo
-        # Edge ids localize per partition; globalize with the edge offset.
+        # Edge ids localize per partition; globalize with the edge offset
+        # (edge-feature consumers must not see colliding local ids).
+        eids = eids + self._edge_off[p]
         return nodes, eids, cumsum
 
     def _scatter_sample(self, requests):
@@ -139,7 +146,7 @@ class DistNeighborSampler:
             nodes = nodes.copy()
             n_seeds = len(requests[p][0])
             nodes[:n_seeds] += int(self.graph.book.bounds[p])
-            out[p] = (nodes, eids, cumsum)
+            out[p] = (nodes, eids + self._edge_off[p], cumsum)
         return out
 
     def sample(self, seeds: np.ndarray, fanouts: List[int]):
@@ -293,6 +300,15 @@ class HeteroDistNeighborSampler:
         self.impl = impl
         self.service = service  # transport.SamplingService (else in-proc)
         self._step = 0
+        # Per edge type: global edge id of each partition's first edge.
+        num_parts = next(iter(graph.books.values())).num_partitions
+        self._edge_off = {}
+        for k in graph.edge_types:
+            sizes = [
+                len(graph.col_parts[(k, p)]) for p in range(num_parts)
+            ]
+            self._edge_off[k] = np.concatenate(
+                [[0], np.cumsum(sizes)]).astype(np.int64)
 
     def _scatter_sample(self, k, requests):
         """``{p: (local_seeds, fanout, rng_seed)}`` for edge type ``k``
@@ -371,7 +387,8 @@ class HeteroDistNeighborSampler:
                     nodes[:len(requests[p][0])] += int(
                         g.books[own_t].bounds[p])  # re-globalise seeds
                     nodes_p.append(nodes)
-                    eids_p.append(eids)
+                    # Globalise edge ids with the partition's edge offset.
+                    eids_p.append(eids + self._edge_off[k][p])
                     cum_p.append(cumsum)
                 merged, _, _, counts = merge_sampler_outputs(
                     nodes_p, eids_p, cum_p, owner, orders,

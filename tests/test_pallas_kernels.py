@@ -50,3 +50,29 @@ def test_pallas_supported():
     assert not pallas_supported((10000, 100), 100)  # unaligned F
     assert pallas_supported((10, 128), 100)  # small E is padded
     assert not pallas_supported((10000, 128, 2), 100)  # 3-D
+
+
+def test_minmax_kernel_handles_neg_inf_and_extreme_values():
+    """Masked logits (-inf) and values below the old -3e38 mask floor
+    must round-trip exactly, with correct first-winner positions even
+    when a row's members start in a later chunk."""
+    from pyg_lib_tpu.ops.pallas.segment_minmax_kernel import (
+        segment_max_planned_exact, )
+    from pyg_lib_tpu.ops.pallas.spmm_chunked import build_spmm_plan
+
+    # Row 0 fills chunk 0 entirely (128 edges); row 1's edges live in
+    # chunk 1 only and are all -inf / ultra-negative.
+    rowptr = np.array([0, 128, 132], np.int64)
+    col = np.zeros(132, np.int64)
+    plan = build_spmm_plan(rowptr, col, chunk=128)
+    x = np.zeros((132 + 124, 128), np.float32)  # padded length 256
+    x[:128] = 1.0
+    x[128:132] = -np.inf
+    x[129, :] = -3.3e38  # finite, below the old mask constant
+    for interpret in (True, None):  # Pallas interpreter AND XLA fallback
+        vals, pos = segment_max_planned_exact(jnp.asarray(x), plan,
+                                              interpret=interpret)
+        vals, pos = np.asarray(vals), np.asarray(pos)
+        assert (vals[0] == 1.0).all() and (pos[0] == 0).all()
+        assert (vals[1] == -3.3e38).all(), vals[1, 0]
+        assert (pos[1] == 129).all(), pos[1, 0]
