@@ -47,18 +47,23 @@ __all__ = [
 def _check_indptr(indptr: Array):
     if indptr.ndim < 1:
         raise ValueError('indptr must have at least 1 dimension')
-    # HOST indptrs are validated (a non-monotonic indptr silently
+    # Concrete indptrs are validated (a non-monotonic indptr silently
     # produces garbage segments — reference TORCH_CHECK role). Tracers
-    # cannot be inspected, and DEVICE arrays are deliberately skipped:
-    # np.asarray on a device array is a device->host readback that runs
-    # at ~0.1 MB/s through the axon tunnel (~80 s for a 1M-row indptr on
-    # every eager call).
+    # cannot be inspected, and TPU-resident arrays are deliberately
+    # skipped: np.asarray on an axon device array is a device->host
+    # readback at ~0.1 MB/s (~80 s for a 1M-row indptr on every eager
+    # call). Host/CPU-backend arrays read back for free.
     import numpy as np
 
-    if isinstance(indptr, (np.ndarray, list, tuple)):
-        ip = np.asarray(indptr)
-        if ip.shape[-1] and (np.diff(ip, axis=-1) < 0).any():
-            raise ValueError('indptr must be non-decreasing')
+    if isinstance(indptr, jax.core.Tracer):
+        return
+    if not isinstance(indptr,
+                      (np.ndarray, list,
+                       tuple)) and jax.default_backend() == 'tpu':
+        return
+    ip = np.asarray(indptr)
+    if ip.shape[-1] and (np.diff(ip, axis=-1) < 0).any():
+        raise ValueError('indptr must be non-decreasing')
 
 
 def _segment_ids(indptr: Array, num_elements: int) -> Array:
