@@ -176,6 +176,11 @@ def _run_child(mode: str, timeout: float, env=None):
 def main():
     budget = float(os.environ.get('PYGT_BENCH_BUDGET_S', 540))
     start = time.time()
+    # Reserved for the final CPU-backend fallback (measured ~22 s warm,
+    # ~60 s cold): with a HANGING TPU backend both device children eat
+    # their full timeouts, and without this reserve the round records
+    # 0.0 instead of a real (labeled) measurement.
+    cpu_reserve = 90.0
 
     def remaining():
         return budget - (time.time() - start)
@@ -187,20 +192,23 @@ def main():
     # IMMEDIATELY so even an external kill during phase 2 leaves a
     # parseable measurement; a successful phase 2 prints the headline
     # line after it (last line = best available).
-    rec = _run_child('fallback', timeout=min(240, remaining() - 60))
+    rec = _run_child('fallback',
+                     timeout=min(240, remaining() - cpu_reserve - 30))
     if rec is not None:
         print(json.dumps(rec), flush=True)
 
     # Phase 2: the headline config with everything left. Cold compile
     # through the axon tunnel can take 2-10 min; warm (persistent cache,
     # .jax_cache committed workflows / prior local runs) is ~60 s.
-    if remaining() > 90:
-        head = _run_child('headline', timeout=remaining() - 20)
-        if head is None and rec is None and remaining() > 150:
+    if remaining() > cpu_reserve + 90:
+        head = _run_child('headline',
+                          timeout=remaining() - cpu_reserve - 20)
+        if head is None and rec is None and remaining() > cpu_reserve + 150:
             # Possible wedged chip: the killed child triggers the remote
             # watchdog; wait for the reset and retry the cheap config.
             time.sleep(100)
-            rec = _run_child('fallback', timeout=remaining() - 10)
+            rec = _run_child('fallback',
+                             timeout=remaining() - cpu_reserve - 10)
             if rec is not None:
                 print(json.dumps(rec), flush=True)
         if head is not None:
