@@ -56,11 +56,9 @@ def test_dist_sampler_full_fanout_matches_local_sampler():
     np.testing.assert_array_equal(row, np.asarray(ref[0]))
     np.testing.assert_array_equal(col_out, np.asarray(ref[1]))
     np.testing.assert_array_equal(node_id, np.asarray(ref[2]))
-    # Per-hop counts follow the DIST contract (duplicates kept — the
-    # reference protocol returns nodes with duplicates and dedups only at
-    # relabel), so they bound the local sampler's unique-node counts.
-    assert nph[0] == list(ref[4])[0]
-    assert all(a >= b for a, b in zip(nph, list(ref[4])))
+    # Frontier dedup makes per-hop counts the local sampler's new-unique
+    # counts exactly.
+    assert nph == list(ref[4])
 
 
 def test_dist_sampler_finite_fanout_structure():
@@ -329,3 +327,31 @@ def test_hetero_dist_sampler_shared_dst_type():
     got_r2 = node_id['T'][cols[('B', 'r2', 'T')]]
     np.testing.assert_array_equal(np.sort(got_r1), [3, 4])
     np.testing.assert_array_equal(np.sort(got_r2), [7, 8])
+
+
+def test_dist_sampler_full_fanout_fuzz_matches_local():
+    """Across random denser graphs (duplicate discoveries guaranteed),
+    the dist protocol must reproduce the single-machine sampler
+    EXACTLY — rows, cols, node ids and per-hop unique counts."""
+    for trial in range(5):
+        rng = np.random.default_rng(100 + trial)
+        n = int(rng.integers(40, 200))
+        e = int(rng.integers(n, 6 * n))
+        rowptr, col = _random_csr(rng, n, e)
+        parts = int(rng.integers(2, 5))
+        g = partition_graph(rowptr, col, parts)
+        seeds = np.unique(rng.integers(0, n, size=4)).astype(np.int64)
+        hops = [[-1, -1], [-1, -1, -1]][trial % 2]
+
+        ds = DistNeighborSampler(g, rng=7)
+        row, col_out, node_id, nph = ds.sample(seeds, hops)
+        ref = sampler.neighbor_sample(rowptr, col, seeds, hops, rng=7)
+        msg = f'trial {trial}: n={n} e={e} parts={parts}'
+        np.testing.assert_array_equal(row, np.asarray(ref[0]), err_msg=msg)
+        np.testing.assert_array_equal(col_out, np.asarray(ref[1]),
+                                      err_msg=msg)
+        np.testing.assert_array_equal(node_id, np.asarray(ref[2]),
+                                      err_msg=msg)
+        # Frontier dedup makes per-hop counts the local sampler's
+        # new-unique counts exactly.
+        assert nph == list(ref[4]), msg
