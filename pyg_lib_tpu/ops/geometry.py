@@ -79,6 +79,10 @@ def _fps_one(pts: Array, m: int, start: int) -> Array:
     return idxs
 
 
+# Module-level jit: per-(n, m) shapes hit the trace cache across calls.
+_fps_one_jit = jax.jit(_fps_one, static_argnums=(1, ))
+
+
 def fps(src: Array, ptr: Array, ratio: float = 0.5,
         random_start: bool = True, seed: int = 0) -> Array:
     """Farthest point sampling per batch (reference
@@ -90,7 +94,7 @@ def fps(src: Array, ptr: Array, ratio: float = 0.5,
     hptr = _host_ptr(ptr, src.shape[0])
     rng = np.random.default_rng(seed)
     out = []
-    fn = jax.jit(_fps_one, static_argnums=(1, ))
+    fn = _fps_one_jit  # module-level jit: per-call wrapping would retrace
     for b in range(len(hptr) - 1):
         lo, hi = int(hptr[b]), int(hptr[b + 1])
         n = hi - lo
@@ -129,9 +133,17 @@ def knn(x: Array, y: Array, k: int = 1,
             continue
         xb, yb = x[xs:xe], y[ys:ye]
         if cosine:
-            xn = xb / jnp.linalg.norm(xb, axis=-1, keepdims=True)
-            yn = yb / jnp.linalg.norm(yb, axis=-1, keepdims=True)
-            d = 1.0 - jnp.dot(yn, xn.T, preferred_element_type=jnp.float32)
+            # Guard zero-norm rows (NaN similarity) and run the dot at
+            # HIGHEST precision like _pairwise_sqdist: default bf16 MXU
+            # error (~±0.05) reorders neighbors whose similarities are
+            # close.
+            xn = xb / jnp.maximum(
+                jnp.linalg.norm(xb, axis=-1, keepdims=True), 1e-12)
+            yn = yb / jnp.maximum(
+                jnp.linalg.norm(yb, axis=-1, keepdims=True), 1e-12)
+            d = 1.0 - jnp.dot(yn, xn.T,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
         else:
             d = _pairwise_sqdist(yb, xb)
         kk = min(k, xe - xs)
@@ -228,12 +240,18 @@ def nearest(x: Array, y: Array, ptr_x: Optional[Array] = None,
     ``pyg_lib/ops/__init__.py:1149-1167``)."""
     hx = _host_ptr(ptr_x, x.shape[0])
     hy = _host_ptr(ptr_y, y.shape[0])
+    if len(hx) != len(hy):
+        raise ValueError('ptr_x and ptr_y must have equal batch count')
     parts = []
     for b in range(len(hx) - 1):
         xs, xe = int(hx[b]), int(hx[b + 1])
         ys, ye = int(hy[b]), int(hy[b + 1])
         if xe - xs == 0:
             continue
+        if ye - ys == 0:
+            raise ValueError(
+                f'nearest: batch {b} has {xe - xs} query points but an '
+                'empty reference segment')
         d = _pairwise_sqdist(x[xs:xe], y[ys:ye])
         parts.append(np.asarray(jax.device_get(jnp.argmin(d, axis=1))) + ys)
     if not parts:
@@ -254,11 +272,23 @@ def grid_cluster(pos: Array, size: Array, start: Optional[Array] = None,
     coords = jnp.floor((pos - start) / size).astype(jnp.int64)
     coords = jnp.clip(coords, 0, num_voxels - 1)
     # Ravel with the reference's dimension ordering (first dim fastest,
-    # csrc/ops/cpu/cluster_kernel.cpp).
+    # csrc/ops/cpu/cluster_kernel.cpp). NOTE: without jax_enable_x64 the
+    # int64 astype silently becomes int32; guard the id space so voxel
+    # products past 2^31 fail loudly instead of overflowing into
+    # colliding/negative cluster ids (the reference computes in int64).
     strides = jnp.concatenate([
         jnp.ones((1, ), jnp.int64),
         jnp.cumprod(num_voxels[:-1]),
     ])
+    if strides.dtype != jnp.int64:  # x64 disabled
+        import numpy as _np
+
+        nv = _np.asarray(jax.device_get(num_voxels), _np.float64)
+        if _np.prod(nv) >= 2**31:
+            raise ValueError(
+                'grid_cluster: voxel id space exceeds int32 '
+                f'({int(_np.prod(nv))} cells) and jax x64 is disabled; '
+                'enable jax_enable_x64 or use a coarser grid')
     return jnp.sum(coords * strides, axis=-1)
 
 

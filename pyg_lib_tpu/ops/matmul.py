@@ -44,11 +44,19 @@ def _ragged_transpose_dot(inputs: Array, grad_out: Array,
             rhs_group_dimensions=[],
         )
         return ragged_dot_general(inputs, grad_out, group_sizes, dims)
-    except Exception:
-        # Fallback: mask-per-group batched GEMM. G static => unrolled by XLA.
+    except (ImportError, AttributeError, NotImplementedError):
+        # Fallback for toolchains without ragged_dot_general only — a
+        # bare `except` here would silently swallow real shape/lowering
+        # errors into an O(E*G*K)-memory path.
+        # Mask-per-group batched GEMM. G static => unrolled by XLA.
         e = inputs.shape[0]
-        ids = jnp.repeat(jnp.arange(num_groups), group_sizes, axis=0,
-                         total_repeat_length=e)
+        # searchsorted ids: rows past the groups' total get id G, whose
+        # one_hot row is all-zero — jnp.repeat(total_repeat_length=...)
+        # pads with the LAST group instead, polluting grad_other[G-1]
+        # with padding-row contributions.
+        ids = jnp.searchsorted(jnp.cumsum(group_sizes),
+                               jnp.arange(e, dtype=jnp.int32),
+                               side='right')
         onehot = jax.nn.one_hot(ids, num_groups, dtype=inputs.dtype)  # [E, G]
         masked = onehot[:, :, None] * inputs[:, None, :]  # [E, G, K]
         return jnp.einsum('egk,en->gkn', masked, grad_out)
@@ -118,9 +126,16 @@ def segment_matmul(inputs: Array, ptr: Array, other: Array,
     out = _segment_mm(inputs, group_sizes, other)
     if bias is not None:
         num_groups = other.shape[0]
-        ids = jnp.repeat(jnp.arange(num_groups), group_sizes, axis=0,
-                         total_repeat_length=inputs.shape[0])
-        out = out + jnp.take(bias, ids, axis=0)
+        # searchsorted ids: trailing padding rows (>= ptr[-1]) get id G
+        # and NO bias — jnp.repeat(total_repeat_length=...) pads with
+        # the last group, which would add bias[G-1] to rows documented
+        # to stay zero.
+        ids = jnp.searchsorted(jnp.cumsum(group_sizes),
+                               jnp.arange(inputs.shape[0],
+                                          dtype=jnp.int32), side='right')
+        safe = jnp.minimum(ids, num_groups - 1)
+        out = out + jnp.where((ids < num_groups)[:, None],
+                              jnp.take(bias, safe, axis=0), 0)
     return out
 
 

@@ -205,8 +205,12 @@ def scatter_mean(
     if out is not None:
         # Reference contract (probed against libpyg): ``out`` is folded
         # into the SUM before dividing by the count — (out + Σsrc)/n —
-        # and empty buckets keep ``out`` unchanged.
-        merged = (out + sums) / count_safe.astype(src.dtype)
+        # and empty buckets keep ``out`` unchanged. Integer inputs
+        # FLOOR-divide and keep their dtype (probed: (-4-7-4)/2 -> -8).
+        if jnp.issubdtype(src.dtype, jnp.floating):
+            merged = (out + sums) / count_safe.astype(src.dtype)
+        else:
+            merged = (out + sums) // count_safe.astype(src.dtype)
         return jnp.where(count_b > 0, merged, out)
     if jnp.issubdtype(src.dtype, jnp.floating):
         result = sums / count_safe.astype(src.dtype)

@@ -133,3 +133,24 @@ def test_edge_sample_count_and_factor():
                                       jnp.asarray(rowptr), factor=0.5))
     assert len(out2) == 3  # ceil(0.5 * 6)
     assert len(set(out2.tolist())) == 3  # without replacement
+
+
+def test_nearest_validates_ptrs_and_empty_reference():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 3)).astype(
+        np.float32))
+    with pytest.raises(ValueError, match='batch count'):
+        ops.nearest(x, x, ptr_x=jnp.asarray([0, 2, 4]),
+                    ptr_y=jnp.asarray([0, 4]))
+    with pytest.raises(ValueError, match='empty reference'):
+        ops.nearest(x, x, ptr_x=jnp.asarray([0, 2]),
+                    ptr_y=jnp.asarray([0, 0]))
+
+
+def test_knn_cosine_zero_norm_no_nan():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(6, 3)).astype(np.float32)
+    x[0] = 0.0  # zero-norm row must not poison the results with NaN
+    out = np.asarray(ops.knn(jnp.asarray(x), jnp.asarray(x), k=2,
+                             cosine=True))
+    assert out.shape == (2, 12)
+    assert (out >= 0).all()

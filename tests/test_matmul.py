@@ -120,3 +120,29 @@ def test_grouped_matmul_bias_and_version():
                               [jnp.asarray(b) for b in bs])
     for x, w, b, o in zip(xs, ws, bs, outs):
         assert_allclose(np.asarray(o), x @ w + b, rtol=1e-4, atol=1e-4)
+
+
+def test_segment_matmul_padding_rows_stay_zero_with_bias():
+    """ptr[-1] < N: trailing padding rows must stay ZERO even with bias
+    (jnp.repeat's total_repeat_length pads ids with the LAST group)."""
+    rng = np.random.default_rng(30)
+    inputs = jnp.asarray(rng.normal(size=(10, 8)).astype(np.float32))
+    ptr = jnp.asarray(np.array([0, 4, 8], np.int64))
+    other = jnp.asarray(rng.normal(size=(2, 8, 4)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32))
+    out = np.asarray(ops.segment_matmul(inputs, ptr, other, bias=bias))
+    ref0 = np.asarray(inputs)[:4] @ np.asarray(other)[0] + np.asarray(
+        bias)[0]
+    ref1 = np.asarray(inputs)[4:8] @ np.asarray(other)[1] + np.asarray(
+        bias)[1]
+    np.testing.assert_allclose(out[:4], ref0, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(out[4:8], ref1, atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(out[8:], 0.0)
+    # backward: grad_other must not absorb padding-row contributions
+    g = jax.grad(lambda o: ops.segment_matmul(inputs, ptr, o,
+                                              bias=bias).sum())(other)
+    gref = np.stack([
+        np.asarray(inputs)[:4].T @ np.ones((4, 4), np.float32),
+        np.asarray(inputs)[4:8].T @ np.ones((4, 4), np.float32),
+    ])
+    np.testing.assert_allclose(np.asarray(g), gref, atol=1e-4, rtol=1e-4)

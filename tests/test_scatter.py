@@ -212,3 +212,17 @@ def test_gather_csr_preserves_out_tail():
     out = jnp.full((4, 1), 9.0)
     res = np.asarray(ops.gather_csr(src, indptr, out=out))
     np.testing.assert_allclose(res[:, 0], [1.0, 2.0, 9.0, 9.0])
+
+
+def test_scatter_mean_integer_with_out_floor_divides():
+    """Probed against libpyg: integer mean with out keeps the integer
+    dtype and FLOOR-divides ((-4-7-4)/2 -> -8), same as the out=None
+    path."""
+    src = jnp.asarray(np.array([-4, -7], np.int32))
+    idx = jnp.asarray(np.array([0, 0], np.int64))
+    out = jnp.asarray(np.array([-4], np.int32))
+    r = ops.scatter_mean(src, idx, 0, out=out)
+    assert r.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(r), [-8])
+    r0 = ops.scatter_mean(src, idx, 0, dim_size=1)
+    np.testing.assert_array_equal(np.asarray(r0), [-6])  # floor(-5.5)
