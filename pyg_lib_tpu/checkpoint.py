@@ -76,14 +76,23 @@ def restore_checkpoint(path: str, like, step: Optional[int] = None,
 
 
 def latest_step(path: str) -> Optional[int]:
-    """Largest ``step_*`` subdirectory under ``path`` (None if flat)."""
+    """Largest COMPLETE ``step_*`` checkpoint under ``path`` (None if
+    flat or none complete).
+
+    ``metadata.json`` is the commit marker: :func:`save_checkpoint`
+    writes it strictly AFTER the orbax save finalises, so a directory
+    missing it is a crashed/in-progress save — resume must fall back to
+    the previous intact step rather than fail (or silently drop the
+    loader position) on a half-written one."""
     if not os.path.isdir(path):
         return None
     steps = []
     for name in os.listdir(path):
         if name.startswith('step_'):
             try:
-                steps.append(int(name[5:]))
+                step = int(name[5:])
             except ValueError:
                 continue
+            if os.path.exists(os.path.join(path, name, 'metadata.json')):
+                steps.append(step)
     return max(steps) if steps else None

@@ -182,9 +182,11 @@ class HeteroNeighborSampler:
         row, col, node_id, eid, nnph, neph = out
         batch = None
         if disjoint:
+            # Disjoint node ids are ALWAYS [N, 2] (batch, node) pairs —
+            # both the numpy spec and the C++ engine emit 2-D arrays
+            # (including the empty np.zeros((0, 2)) case).
             batch = {t: v[:, 0] for t, v in node_id.items()}
-            node_id = {t: v[:, 1] if v.ndim == 2 else v
-                       for t, v in node_id.items()}
+            node_id = {t: v[:, 1] for t, v in node_id.items()}
         return row, col, node_id, batch, eid, nnph, neph
 
 

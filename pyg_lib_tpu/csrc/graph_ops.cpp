@@ -131,19 +131,36 @@ void pygt_random_walk_pq(const int64_t* rowptr, const int64_t* col,
         nxt = col[lo + (int64_t)rng.bounded((uint64_t)(hi - lo))];
       } else {
         const int64_t plo = rowptr[prev], phi = rowptr[prev + 1];
+        auto weight_of = [&](int64_t cand) -> double {
+          if (cand == prev) return wp;
+          if (std::binary_search(col + plo, col + phi, cand)) return 1.0;
+          return wq;
+        };
+        bool accepted = false;
         for (int attempt = 0; attempt < 64; ++attempt) {
           const int64_t cand =
               col[lo + (int64_t)rng.bounded((uint64_t)(hi - lo))];
-          double w;
-          if (cand == prev) {
-            w = wp;
-          } else if (std::binary_search(col + plo, col + phi, cand)) {
-            w = 1.0;
-          } else {
-            w = wq;
+          nxt = cand;
+          if (rng.uniform() * w_max <= weight_of(cand)) {
+            accepted = true;
+            break;
           }
-          nxt = cand;  // fallback if every draw rejects
-          if (rng.uniform() * w_max <= w) break;
+        }
+        if (!accepted) {
+          // 64 rejections (extreme p/q at this node): draw EXACTLY from
+          // the node2vec distribution via the weighted CDF — keeping
+          // the last rejected uniform candidate would bias the walk.
+          double total = 0.0;
+          for (int64_t e = lo; e < hi; ++e) total += weight_of(col[e]);
+          double r = rng.uniform() * total, acc = 0.0;
+          nxt = col[hi - 1];
+          for (int64_t e = lo; e < hi; ++e) {
+            acc += weight_of(col[e]);
+            if (r <= acc) {
+              nxt = col[e];
+              break;
+            }
+          }
         }
       }
       walk[s] = nxt;

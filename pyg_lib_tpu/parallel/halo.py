@@ -92,21 +92,32 @@ def ring_halo_aggregate(mesh: Mesh, x, part_rowptr_blk, part_src_blk,
         npd = x_shard.shape[0]
         acc = jnp.zeros_like(x_shard)
 
-        def body(carry, s):
-            x_blk, acc = carry
+        def consume(x_blk, s, acc):
             owner = jax.lax.rem(me.astype(jnp.int32) + s,
                                 jnp.int32(num_dev))
-            sub_ptr = jax.lax.dynamic_index_in_dim(rb, owner, keepdims=False)
-            sub_src = jax.lax.dynamic_index_in_dim(sb, owner, keepdims=False)
+            sub_ptr = jax.lax.dynamic_index_in_dim(rb, owner,
+                                                   keepdims=False)
+            sub_src = jax.lax.dynamic_index_in_dim(sb, owner,
+                                                   keepdims=False)
             msgs = jnp.take(x_blk, jnp.minimum(sub_src, npd - 1), axis=0)
-            acc = acc + segment_sum_csr(msgs, sub_ptr)
+            return acc + segment_sum_csr(msgs, sub_ptr)
+
+        # Own block first, then D-1 permute+consume steps: permuting at
+        # the END of every step would pay one extra (discarded) full
+        # block rotation over ICI per call.
+        acc = consume(x_blk, jnp.int32(0), acc)
+
+        def body(carry, s):
+            x_blk, acc = carry
             x_blk = jax.lax.ppermute(x_blk, axis, perm)
+            acc = consume(x_blk, s, acc)
             return (x_blk, acc), None
 
         # scan (not fori_loop) so the ring is reverse-differentiable for
         # training through the aggregation.
         (_, acc), _ = jax.lax.scan(body, (x_blk, acc),
-                                   jnp.arange(num_dev, dtype=jnp.int32))
+                                   jnp.arange(1, num_dev,
+                                              dtype=jnp.int32))
         return acc
 
     return jax.shard_map(

@@ -227,6 +227,11 @@ def subgraph(
         from pyg_lib_tpu.sampler import _cpp
         if _cpp.get_lib() is not None:
             return _cpp.subgraph_cpp(rowptr, col, nodes, return_edge_id)
+        if impl == 'cpp':
+            # Fail loudly like neighbor_sample: silently running the
+            # O(E) Python loop would invalidate benchmarks.
+            raise RuntimeError("impl='cpp' requested but the native "
+                               'sampling library is unavailable')
     n_out = len(nodes)
     local = {int(v): i for i, v in enumerate(nodes.tolist())}
     out_rowptr = np.zeros(n_out + 1, dtype=rowptr.dtype)
@@ -258,19 +263,40 @@ def _sorted_rows(rowptr: np.ndarray, col: np.ndarray) -> np.ndarray:
 _SORTED_COL_CACHE: dict = {}
 
 
-def _random_walk_pq(rowptr, col, seed, walk_length, p, q, rng, impl):
-    import hashlib
+def _graph_fingerprint(rowptr, col):
+    """Cheap content fingerprint (O(E) memory-bound sum, not O(E)
+    hashing): detects in-place mutation under an identity cache key."""
+    return (int(rowptr[-1]), int(rowptr.sum() % (1 << 62)),
+            int(col.sum() % (1 << 62)) if len(col) else 0)
 
-    key = (hashlib.sha1(np.ascontiguousarray(rowptr).tobytes()).hexdigest(),
-           hashlib.sha1(np.ascontiguousarray(col).tobytes()).hexdigest())
+
+def _random_walk_pq(rowptr, col, seed, walk_length, p, q, rng, impl,
+                    stable_buffers: bool):
+    # Identity key for stable numpy buffers (validated by fingerprint);
+    # sha1 content key otherwise (fresh host copies every call would
+    # miss — or collide on allocator reuse; same scheme as
+    # ops/pallas/plan_cache.py). sha1-hashing BOTH arrays on every call
+    # cost hundreds of ms per batch on large graphs even on cache hits.
+    if stable_buffers:
+        key = ('id', rowptr.ctypes.data, rowptr.shape[0],
+               col.ctypes.data, col.shape[0])
+    else:
+        import hashlib
+
+        key = ('sha',
+               hashlib.sha1(np.ascontiguousarray(rowptr).tobytes()).
+               hexdigest(),
+               hashlib.sha1(np.ascontiguousarray(col).tobytes()).
+               hexdigest())
+    fp = _graph_fingerprint(rowptr, col)
     hit = _SORTED_COL_CACHE.get(key)
-    if hit is None:
-        hit = _sorted_rows(np.asarray(rowptr, np.int64),
-                           np.asarray(col, np.int64))
-        if len(_SORTED_COL_CACHE) >= 4:
+    if hit is None or hit[1] != fp:
+        hit = (_sorted_rows(np.asarray(rowptr, np.int64),
+                            np.asarray(col, np.int64)), fp)
+        if key not in _SORTED_COL_CACHE and len(_SORTED_COL_CACHE) >= 4:
             _SORTED_COL_CACHE.pop(next(iter(_SORTED_COL_CACHE)))
         _SORTED_COL_CACHE[key] = hit
-    col_sorted = hit
+    col_sorted = hit[0]
     if impl != 'numpy' and not isinstance(rng, np.random.Generator):
         from pyg_lib_tpu.sampler import _cpp
         if _cpp.get_lib() is not None:
@@ -310,6 +336,23 @@ def _random_walk_pq(rowptr, col, seed, walk_length, p, q, rng, impl):
                     nxt = cand
                     if gen.uniform() * w_max <= w:
                         break
+                else:
+                    # 64 rejections (extreme p/q at this node): draw
+                    # EXACTLY from the node2vec distribution via the
+                    # weighted CDF — keeping the last rejected uniform
+                    # candidate would bias the walk toward the rare
+                    # regime the weights are meant to suppress.
+                    nbrs = col_sorted[lo:hi]
+                    pos = np.searchsorted(nbrs_prev, nbrs)
+                    in_prev = (pos < len(nbrs_prev)) & (nbrs_prev[
+                        np.minimum(pos, max(len(nbrs_prev) - 1, 0))]
+                        == nbrs)
+                    w_all = np.where(nbrs == prev, w_p,
+                                     np.where(in_prev, 1.0, w_q))
+                    cdf = np.cumsum(w_all)
+                    r = gen.uniform() * cdf[-1]
+                    nxt = int(nbrs[min(np.searchsorted(cdf, r, 'right'),
+                                       len(nbrs) - 1)])
             out[i, s] = nxt
             prev, cur = cur, nxt
     return out
@@ -336,10 +379,21 @@ def random_walk(
     uniform neighbor with probability w/w_max, w in {1/p, 1, 1/q}).
     A dead-end node repeats itself for the rest of the walk.
     """
+    stable = isinstance(rowptr, np.ndarray) and isinstance(col, np.ndarray)
     rowptr, col, seed = _np(rowptr), _np(col), _np(seed)
+    if impl == 'cpp':
+        # Fail loudly like neighbor_sample: silently running the slow
+        # numpy path would invalidate benchmarks/expectations.
+        from pyg_lib_tpu.sampler import _cpp
+        if _cpp.get_lib() is None:
+            raise RuntimeError("impl='cpp' requested but the native "
+                               'sampling library is unavailable')
+        if isinstance(rng, np.random.Generator):
+            raise ValueError("impl='cpp' cannot honor a numpy Generator "
+                             'rng; pass an integer seed')
     if p != 1.0 or q != 1.0:
         return _random_walk_pq(rowptr, col, seed, walk_length, p, q, rng,
-                               impl)
+                               impl, stable)
     if impl != 'numpy' and not isinstance(rng, np.random.Generator):
         from pyg_lib_tpu.sampler import _cpp
         if _cpp.get_lib() is not None:
@@ -356,8 +410,11 @@ def random_walk(
         offs = np.zeros_like(cur)
         if has.any():
             offs[has] = gen.integers(0, deg[has])
-        nxt = np.where(has, col[np.minimum(rowptr[cur] + offs,
-                                           len(col) - 1)], cur)
+        if len(col):
+            nxt = np.where(has, col[np.minimum(rowptr[cur] + offs,
+                                               len(col) - 1)], cur)
+        else:  # edgeless graph: every node is a dead end and repeats
+            nxt = cur
         out[:, step] = nxt
         cur = nxt
     return out

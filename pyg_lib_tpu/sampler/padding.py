@@ -10,7 +10,8 @@ Contracts:
 * Padded edge slots are encoded so masked segment ops treat them as
   empty buckets: the padded CSR ``rowptr[-1]`` equals the true edge count,
   so ``segment_*_csr`` drops trailing pad positions; COO pad slots carry
-  ``index == num_nodes`` (one-past-last bucket) and are dropped by
+  ``index == max_nodes`` (one past the last PADDED slot, always out of
+  range of a ``[max_nodes]``-sized target) and are dropped by
   ``mode='drop'`` scatters.
 * Node padding repeats node 0 with ``node_mask`` False; masked rows must be
   excluded from losses by the caller.
@@ -61,7 +62,9 @@ class PaddedBatch:
     """Fixed-shape mini-batch, ready for a jitted step function.
 
     ``row``/``col`` are local ids into ``node_id``; pad edge slots have
-    ``row == col == num_nodes`` (one-past-last local id).  ``rowptr`` is
+    ``row == col == max_nodes`` (one past the last PADDED slot — always
+    out of range; test realness with ``edge_mask``, or compare against
+    ``max_nodes``, NOT the true ``num_nodes``).  ``rowptr`` is
     the padded-CSR pointer over ``col``-sorted edges (shape
     ``[max_nodes+1]``, ``rowptr[-1] == num_edges``) for
     ``segment_*_csr`` aggregation of incoming edges per destination node.
@@ -183,9 +186,13 @@ def pad_hetero_sample_output(sample_out, node_budgets, max_edges: int,
         src, dst = src_of(k), dst_of(k)
         if src not in type_offset or dst not in type_offset:
             raise ValueError(f'missing node budget for edge type {k}')
-        # row_d is already (row, col) in caller orientation; flat-offset it.
-        r = np.asarray(row_d[k]) + type_offset[src if not csc else dst]
-        c = np.asarray(col_d[k]) + type_offset[dst if not csc else src]
+        # row_d is already (row, col) in caller orientation; flat-offset
+        # it. The csc swap in src_of/dst_of and the conditional here
+        # cancel exactly: rows always offset by the tuple's first type,
+        # cols by its third (the impl swaps its OUTPUT orientation, not
+        # the edge-type key; see _hetero_impl.py).
+        r = np.asarray(row_d[k]) + type_offset[k[0]]
+        c = np.asarray(col_d[k]) + type_offset[k[2]]
         rows.append(r)
         cols.append(c)
         if eid_d is not None:

@@ -103,8 +103,15 @@ def indptr_to_index(indptr: Array, num_elements: int) -> Array:
 
 
 def index_to_indptr(index: Array, size: int) -> Array:
-    """Sorted COO index -> CSR indptr of shape ``[size+1]``."""
-    counts = jnp.zeros((size,), dtype=jnp.int32).at[index].add(
-        1, mode='drop', indices_are_sorted=True)
+    """Sorted COO index -> CSR indptr of shape ``[size+1]``.
+
+    Accepts out-of-range ids on either side (e.g. the ``-1`` leading-gap
+    / ``R`` trailing ids :func:`indptr_to_index` emits): the +1 shift
+    into a padded counts row keeps them dropped — a raw ``.at[index]``
+    would WRAP ``-1`` into the last bucket before the ``mode='drop'``
+    check (see ops/segment_csr.py).
+    """
+    counts = jnp.zeros((size + 2, ), dtype=jnp.int32).at[index + 1].add(
+        1, mode='drop', indices_are_sorted=True)[1:size + 1]
     return jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]).astype(jnp.int32)

@@ -415,3 +415,51 @@ def test_random_walk_pq_node2vec():
         return back
 
     assert backtrack_rate(0.05) > backtrack_rate(20.0) + 0.1
+
+
+def test_random_walk_edgeless_graph_repeats_seed():
+    rowptr = np.zeros(5, np.int64)
+    col = np.zeros(0, np.int64)
+    for impl in ('numpy', 'auto'):
+        out = sampler.random_walk(rowptr, col, np.array([0, 3]), 3,
+                                  rng=0, impl=impl)
+        np.testing.assert_array_equal(out, [[0, 0, 0, 0], [3, 3, 3, 3]])
+
+
+def test_random_walk_cpp_unavailable_semantics():
+    import pytest
+    rowptr = np.array([0, 1, 2], np.int64)
+    col = np.array([1, 0], np.int64)
+    with pytest.raises(ValueError, match='Generator'):
+        sampler.random_walk(rowptr, col, np.array([0]), 2, impl='cpp',
+                            rng=np.random.default_rng(0))
+
+
+def test_node2vec_extreme_q_stays_unbiased():
+    """p=1, q=100 on a triangle-free star-of-paths shape: candidates are
+    almost always distance-2 (weight 0.01), so naive rejection sampling
+    exhausts its draw budget; the exact-CDF fallback must keep the
+    return edge (weight 1/p = 1) dominant when q is huge."""
+    # Path graph 0-1-2-...-9 (every interior step: return edge weight 1,
+    # forward edge weight 1/q).
+    n = 10
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edges += [(j, i) for i, j in edges]
+    edges.sort()
+    rowptr = np.zeros(n + 1, np.int64)
+    for u, _ in edges:
+        rowptr[u + 1] += 1
+    rowptr = np.cumsum(rowptr)
+    col = np.array([v for _, v in edges], np.int64)
+    q = 1000.0
+    backtracks = total = 0
+    for trial in range(200):
+        out = sampler.random_walk(rowptr, col, np.array([5]), 4, p=1.0,
+                                  q=q, rng=trial, impl='numpy')
+        w = out[0]
+        for s in range(2, len(w)):
+            if rowptr[w[s - 1] + 1] - rowptr[w[s - 1]] == 2:
+                total += 1
+                backtracks += int(w[s] == w[s - 2])
+    # exact distribution: P(backtrack) = 1/(1 + 1/q) ~ 0.999
+    assert backtracks / max(total, 1) > 0.97, (backtracks, total)
