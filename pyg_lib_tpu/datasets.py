@@ -50,10 +50,13 @@ def sbm_graph(num_nodes: int = 400, num_classes: int = 4,
         dsts.append(nbrs)
     src = np.concatenate(srcs)
     dst = np.concatenate(dsts)
-    # Symmetrise.
+    # Symmetrise + dedup: a pair drawn independently in both directions
+    # would otherwise appear twice per direction, double-counting those
+    # neighbors in every aggregation built on this generator.
     src2 = np.concatenate([src, dst])
     dst2 = np.concatenate([dst, src])
-    rowptr, col, _ = to_csr(src2, dst2, num_nodes)
+    pair = np.unique(np.stack([src2, dst2], 1), axis=0)
+    rowptr, col, _ = to_csr(pair[:, 0], pair[:, 1], num_nodes)
 
     proto = rng.normal(size=(num_classes, feat_dim)).astype(np.float32)
     x = proto[y] + noise * rng.normal(size=(num_nodes, feat_dim)).astype(

@@ -466,9 +466,12 @@ def build_rgcn_planned(rowptr_dict, col_dict, num_nodes_dict,
         # 12 MB on axon) — recompute the slot map on host instead.
         from pyg_lib_tpu.ops.pallas.spmm_chunked import _build_padded_layout
         orig, valid, _, _, _ = _build_padded_layout(rowptr, chunk)
-        dp = np.where(valid,
-                      dinv[np.minimum(orig, max(len(dinv) - 1, 0))],
-                      0.0).astype(np.float32)
+        if len(dinv):
+            dp = np.where(valid,
+                          dinv[np.minimum(orig, len(dinv) - 1)],
+                          0.0).astype(np.float32)
+        else:  # dst type with zero edges: all slots are padding
+            dp = np.zeros(len(orig), np.float32)
         deginv[dst_t] = jnp.asarray(dp)
     return HeteroSpmmPlan(graphs=graphs, deginv=deginv,
                           rel_order=rel_order, src_ptr=src_ptr,

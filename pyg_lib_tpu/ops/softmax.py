@@ -94,7 +94,7 @@ def _plan_for(ptr) -> 'object':
     # The plan only needs the layout; col ids are unused by softmax. The
     # shared cache dedups it with segment_{min,max}_csr's plan.
     plan = plan_for_ptr(ptr)
-    if len(_PLAN_CACHE) >= 8:
+    if key not in _PLAN_CACHE and len(_PLAN_CACHE) >= 8:
         _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
     # Cache the custom_vjp wrapper too, so repeated calls hit one trace;
     # a COPY of ptr guards against callers mutating the buffer in place.

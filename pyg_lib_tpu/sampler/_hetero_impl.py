@@ -86,7 +86,6 @@ def hetero_neighbor_sample_np(
     batch_idx = 0
     for t, seed in seed_dict.items():
         seed = np.asarray(seed)
-        slices[t] = (0, len(seed))
         for s in seed.tolist():
             key = (batch_idx, s) if disjoint else s
             if key not in mappers[t]:
@@ -95,6 +94,11 @@ def hetero_neighbor_sample_np(
                 sampled_nodes[t].append(s)
             if disjoint:
                 batch_idx += 1
+        # Frontier window over the DEDUPED per-type node list (duplicate
+        # seeds collapse in the mapper; a len(seed)-wide window would
+        # walk past hop 0 into freshly-sampled nodes, diverging from the
+        # C++ engine).
+        slices[t] = (0, len(sampled_nodes[t]))
         if disjoint:
             if seed_time_dict is not None:
                 seed_times.extend(np.asarray(seed_time_dict[t]).tolist())

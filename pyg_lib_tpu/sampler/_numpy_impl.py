@@ -69,8 +69,14 @@ def _biased_sample_indices(rng: np.random.Generator, weight: np.ndarray,
     if count < 0 or (not replace and count >= population):
         return np.arange(population)
     if replace:
-        p = weight / weight.sum()
-        return rng.choice(population, size=count, p=p)
+        total = weight.sum()
+        if total <= 0:
+            # All-zero neighborhood weights: fall back to uniform like
+            # the C++ engine (sampling_core.h) — NaN probabilities would
+            # crash rng.choice (the reference's at::multinomial also
+            # errors on this degenerate input).
+            return rng.integers(0, population, size=count)
+        return rng.choice(population, size=count, p=weight / total)
     # Efraimidis-Spirakis: top-k of log(u)/w (reference
     # ``neighbor_kernel.cpp:264-278``).
     u = rng.random(population)

@@ -225,3 +225,31 @@ def test_padding(graph):
 def test_budget_for():
     mn, me = sampler.padding.budget_for(2, [2, 2])
     assert mn == 2 + 4 + 8 and me == 4 + 8
+
+
+def test_hetero_duplicate_seeds_non_disjoint():
+    """Duplicate seeds collapse in the mapper; the hop-0 frontier window
+    must cover only the deduped nodes (a seed-count-wide window walked
+    into freshly-sampled hop-1 nodes / crashed on tiny graphs)."""
+    rowptr_d = {('a', 'r', 'a'): np.array([0, 1, 2], np.int64)}
+    col_d = {('a', 'r', 'a'): np.array([1, 0], np.int64)}
+    nn = {('a', 'r', 'a'): [1]}
+    out = sampler.hetero_neighbor_sample(
+        rowptr_d, col_d, {'a': np.array([0, 0], np.int64)}, nn,
+        rng=0, impl='numpy')
+    rows, cols, node_id = out[0], out[1], out[2]
+    # One deduped seed expands once: exactly one edge 0->1.
+    assert len(rows[('a', 'r', 'a')]) == 1
+    np.testing.assert_array_equal(node_id['a'], [0, 1])
+
+
+def test_biased_all_zero_weights_uniform_fallback():
+    """All-zero neighborhood weights with replace=True fall back to
+    uniform like the C++ engine instead of crashing on NaN p."""
+    rowptr = np.array([0, 3], np.int64)
+    col = np.array([0, 0, 0], np.int64)
+    w = np.zeros(3, np.float64)
+    out = sampler.neighbor_sample(rowptr, col, np.array([0]), [2],
+                                  edge_weight=w, replace=True, rng=0,
+                                  impl='numpy')
+    assert len(out[0]) == 2  # two (uniform) draws happened
