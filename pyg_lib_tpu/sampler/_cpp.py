@@ -191,8 +191,10 @@ class _HeteroGraphCpp:
                  node_time_dict, edge_time_dict, edge_weight_dict):
         self._refs = (rowptr_dict, col_dict, node_time_dict, edge_time_dict,
                       edge_weight_dict)  # keep arrays alive for the cache
-        self.build(rowptr_dict, col_dict, seed_types, csc, node_time_dict,
-                   edge_time_dict, edge_weight_dict)
+        # The flattening body lives in module-level _hetero_build (defined
+        # below; it needs helpers declared later in the module).
+        _hetero_build(self, rowptr_dict, col_dict, seed_types, csc,
+                      node_time_dict, edge_time_dict, edge_weight_dict)
 
 
 _HETERO_CACHE: dict = {}
@@ -259,6 +261,18 @@ def hetero_neighbor_sample_cpp(
                               temporal_strategy, return_edge_id, rng_seed)
 
 
+def _cat(arrs, dtype):
+    """Concatenate arrays with an offsets table (shared by the hetero
+    build and run paths)."""
+    offs = np.zeros(len(arrs) + 1, np.int64)
+    for i, a in enumerate(arrs):
+        offs[i + 1] = offs[i] + len(a)
+    flat = (np.ascontiguousarray(np.concatenate(
+        [np.asarray(a, dtype) for a in arrs]), dtype)
+            if len(arrs) else np.zeros(0, dtype))
+    return flat, offs
+
+
 def _hetero_build(self, rowptr_dict, col_dict, seed_types, csc,
                   node_time_dict, edge_time_dict, edge_weight_dict):
     edge_types = list(rowptr_dict.keys())
@@ -277,17 +291,7 @@ def _hetero_build(self, rowptr_dict, col_dict, seed_types, csc,
     src_type = np.asarray([t_idx[src_of(k)] for k in edge_types], np.int32)
     dst_type = np.asarray([t_idx[dst_of(k)] for k in edge_types], np.int32)
 
-    def cat(arrs, dtype):
-        offs = np.zeros(len(arrs) + 1, np.int64)
-        for i, a in enumerate(arrs):
-            offs[i + 1] = offs[i] + len(a)
-        if len(arrs):
-            flat = np.ascontiguousarray(np.concatenate(
-                [np.asarray(a, dtype) for a in arrs]), dtype)
-        else:
-            flat = np.zeros(0, dtype)
-        return flat, offs
-
+    cat = _cat
     rowptrs = [rowptr_dict[k] for k in edge_types]
     cols = [col_dict[k] for k in edge_types]
     rowptr_cat, rowptr_off = cat(rowptrs, np.int64)
@@ -368,8 +372,6 @@ def _hetero_build(self, rowptr_dict, col_dict, seed_types, csc,
     self.has_node_time = has_node_time
 
 
-_HeteroGraphCpp.build = _hetero_build
-
 
 def _hetero_sample_run(lib, g, seed_dict, num_neighbors_dict, seed_time_dict,
                        csc, replace, disjoint, temporal_strategy,
@@ -378,15 +380,7 @@ def _hetero_sample_run(lib, g, seed_dict, num_neighbors_dict, seed_time_dict,
     T, K = g.T, g.K
     L = max(len(v) for v in num_neighbors_dict.values())
 
-    def cat(arrs, dtype):
-        offs = np.zeros(len(arrs) + 1, np.int64)
-        for i, a in enumerate(arrs):
-            offs[i + 1] = offs[i] + len(a)
-        flat = (np.ascontiguousarray(np.concatenate(
-            [np.asarray(a, dtype) for a in arrs]), dtype)
-                if len(arrs) else np.zeros(0, dtype))
-        return flat, offs
-
+    cat = _cat
     # Seeds: slot order is node_types (seed types first, in seed_dict
     # order), reproducing the numpy spec's global batch numbering.
     if (disjoint and seed_time_dict is None and g.node_time_cat is not None):
