@@ -49,6 +49,7 @@ struct HeteroArgs {
   const int32_t* has_edge_time;  // [K]
   const int32_t* has_node_time;  // [T]
   bool replace;
+  bool directed;  // false: discard hop edges, emit per-type induced edges
   bool disjoint;
   bool temporal_last;
   bool return_edge_id;
@@ -72,6 +73,7 @@ struct HeteroOutputs {
 // below), matching the numpy spec.
 bool run_hetero(const HeteroArgs& a, HeteroOutputs& o) {
   const bool temporal = a.node_time_cat || a.edge_time_cat;
+  if (!a.directed && a.disjoint) return false;  // Python rejects first
   if (a.node_time_cat) {
     for (int64_t t = 0; t < a.T; ++t) {
       if (!a.has_node_time[t]) continue;
@@ -194,13 +196,14 @@ bool run_hetero(const HeteroArgs& a, HeteroOutputs& o) {
                 new_nodes.push_back(w);
                 new_batches.push_back(b);
               }
+              if (!a.directed) continue;  // induced pass emits edges later
               hop_edges++;
               o.rows[(size_t)k].push_back(i);
               o.cols[(size_t)k].push_back(res.first);
               if (a.return_edge_id) o.eids[(size_t)k].push_back(e);
             }
           }
-          o.edges_per_hop[(size_t)k].push_back(hop_edges);
+          if (a.directed) o.edges_per_hop[(size_t)k].push_back(hop_edges);
         }
       }
     }
@@ -216,6 +219,38 @@ bool run_hetero(const HeteroArgs& a, HeteroOutputs& o) {
       nb.clear();
       slices[t] = {slices[t].second, (int64_t)o.nodes[(size_t)t].size()};
       o.nodes_per_hop[t].push_back(slices[t].second - slices[t].first);
+    }
+  }
+
+  if (!a.directed) {
+    // Per-edge-type induced-subgraph pass (reference-documented
+    // undirected semantics, pyg_lib/sampler/__init__.py:69; its kernel
+    // rejects it at neighbor_kernel.cpp:822): for every sampled src node
+    // of type src(k), every type-k CSR slot whose endpoint was sampled
+    // into dst(k)'s mapper becomes a local edge. edges_per_hop carries
+    // ONE entry per type (hop attribution is meaningless here). Each
+    // edge type is independent — parallelise over types.
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t k = 0; k < a.K; ++k) {
+      const int64_t src = a.src_type[k], dst = a.dst_type[k];
+      const int64_t* rowptr = a.rowptr_cat + a.rowptr_off[k];
+      const int64_t n_src = a.rowptr_off[k + 1] - a.rowptr_off[k] - 1;
+      const int64_t* col = a.col_cat + a.col_off[k];
+      const auto& src_nodes = o.nodes[(size_t)src];
+      const Mapper& dst_map = mappers[(size_t)dst];
+      for (size_t i = 0; i < src_nodes.size(); ++i) {
+        const int64_t v = src_nodes[i];
+        if (v < 0 || v >= n_src) continue;  // no out-edges of this type
+        for (int64_t e = rowptr[v]; e < rowptr[v + 1]; ++e) {
+          const int64_t loc = dst_map.lookup(0, col[e]);
+          if (loc < 0) continue;
+          o.rows[(size_t)k].push_back((int64_t)i);
+          o.cols[(size_t)k].push_back(loc);
+          if (a.return_edge_id) o.eids[(size_t)k].push_back(e);
+        }
+      }
+      o.edges_per_hop[(size_t)k].push_back(
+          (int64_t)o.rows[(size_t)k].size());
     }
   }
   return true;
@@ -238,15 +273,15 @@ HeteroResult* pygt_hetero_sample(
     const int64_t* node_time_off, const int64_t* edge_time_cat,
     const int64_t* seed_time_cat, const int32_t* has_weight,
     const int32_t* has_edge_time, const int32_t* has_node_time,
-    int32_t replace, int32_t disjoint, int32_t temporal_last,
-    int32_t return_edge_id, uint64_t rng_seed) {
+    int32_t replace, int32_t directed, int32_t disjoint,
+    int32_t temporal_last, int32_t return_edge_id, uint64_t rng_seed) {
   auto* r = new HeteroResult();
   HeteroArgs a{T, K, src_type, dst_type, rowptr_cat, rowptr_off, col_cat,
                col_off, num_nodes, seed_cat, seed_off, fanouts, L,
                weight_cat, node_time_cat, node_time_off, edge_time_cat,
                seed_time_cat, has_weight, has_edge_time, has_node_time,
-               (bool)replace, (bool)disjoint, (bool)temporal_last,
-               (bool)return_edge_id, rng_seed};
+               (bool)replace, (bool)directed, (bool)disjoint,
+               (bool)temporal_last, (bool)return_edge_id, rng_seed};
   if (!run_hetero(a, r->o)) {
     delete r;
     return nullptr;  // Python wrapper raises on NULL.
@@ -286,5 +321,11 @@ void pygt_hetero_copy_nodes(HeteroResult* r, int64_t t, int64_t* nodes,
 }
 
 void pygt_hetero_free(HeteroResult* r) { delete r; }
+
+// Runtime OpenMP width control (OMP_NUM_THREADS is only read at library
+// load, so benchmarks racing 1-vs-8 threads need a live switch).
+void pygt_set_num_threads(int32_t n) { omp_set_num_threads((int)n); }
+
+int32_t pygt_get_max_threads() { return (int32_t)omp_get_max_threads(); }
 
 }  // extern "C"

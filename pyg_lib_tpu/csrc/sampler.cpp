@@ -41,6 +41,7 @@ struct SampleArgs {
   const int64_t* edge_time;     // nullable
   const int64_t* seed_time;     // nullable
   bool replace;
+  bool directed;  // false: discard hop edges, emit the induced subgraph
   bool disjoint;
   bool temporal_last;  // temporal_strategy == "last"
   bool return_edge_id;
@@ -58,6 +59,10 @@ struct SampleArgs {
 bool run_sample(const SampleArgs& a, Outputs& o) {
   const bool temporal = a.node_time || a.edge_time;
   if (temporal && !a.disjoint) return false;
+  // Undirected (induced-subgraph) mode composes with neither disjoint
+  // batching nor the distributed one-hop contract (reference intent:
+  // neighbor_kernel.cpp:501-506 TORCH_CHECKs). Python rejects first.
+  if (!a.directed && (a.disjoint || a.distributed)) return false;
   for (int64_t i = 0; i < a.num_seed; ++i)
     if (a.seed[i] < 0 || a.seed[i] >= a.num_nodes) return false;
   Mapper mapper(a.num_nodes, a.disjoint);
@@ -121,6 +126,7 @@ bool run_sample(const SampleArgs& a, Outputs& o) {
             o.nodes.push_back(w);
             o.batches.push_back(b);
           }
+          if (!a.directed) continue;  // induced pass emits edges later
           hop_edges++;
           o.rows.push_back((int64_t)i);
           o.cols.push_back(res.first);
@@ -135,7 +141,28 @@ bool run_sample(const SampleArgs& a, Outputs& o) {
     begin = end;
     end = o.nodes.size();
     o.nodes_per_hop.push_back((int64_t)(end - begin));
-    o.edges_per_hop.push_back(hop_edges);
+    if (a.directed) o.edges_per_hop.push_back(hop_edges);
+  }
+
+  if (!a.directed) {
+    // Induced-subgraph pass (the reference DOCUMENTS this semantics —
+    // pyg_lib/sampler/__init__.py:69 "include all edges between all
+    // sampled nodes" — but its kernel TORCH_CHECKs it away,
+    // neighbor_kernel.cpp:501; implemented here): every CSR slot whose
+    // endpoint was sampled becomes a local edge, in local-row order.
+    // Per-hop attribution is meaningless for induced edges, so
+    // edges_per_hop carries ONE entry: the induced edge count.
+    for (size_t i = 0; i < o.nodes.size(); ++i) {
+      const int64_t v = o.nodes[i];
+      for (int64_t e = a.rowptr[v]; e < a.rowptr[v + 1]; ++e) {
+        const int64_t loc = mapper.lookup(0, a.col[e]);
+        if (loc < 0) continue;
+        o.rows.push_back((int64_t)i);
+        o.cols.push_back(loc);
+        if (a.return_edge_id) o.eids.push_back(e);
+      }
+    }
+    o.edges_per_hop.push_back((int64_t)o.rows.size());
   }
   return true;
 }
@@ -155,14 +182,14 @@ SampleResult* pygt_neighbor_sample(
     const int64_t* seed, int64_t num_seed, const int64_t* fanouts,
     int64_t num_hops, const double* edge_weight, const int64_t* node_time,
     const int64_t* edge_time, const int64_t* seed_time, int32_t replace,
-    int32_t disjoint, int32_t temporal_last, int32_t return_edge_id,
-    int32_t distributed, uint64_t rng_seed) {
+    int32_t directed, int32_t disjoint, int32_t temporal_last,
+    int32_t return_edge_id, int32_t distributed, uint64_t rng_seed) {
   auto* r = new SampleResult();
   SampleArgs a{rowptr, col,       num_nodes,  seed,
                num_seed, fanouts, num_hops,   edge_weight,
                node_time, edge_time, seed_time, (bool)replace,
-               (bool)disjoint, (bool)temporal_last, (bool)return_edge_id,
-               (bool)distributed, rng_seed};
+               (bool)directed, (bool)disjoint, (bool)temporal_last,
+               (bool)return_edge_id, (bool)distributed, rng_seed};
   if (!run_sample(a, r->o)) {
     delete r;
     return nullptr;  // Python wrapper raises on NULL.

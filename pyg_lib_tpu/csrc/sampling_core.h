@@ -101,6 +101,17 @@ struct FlatHashMap {
       j = (j + 1) & mask_;
     }
   }
+
+  // Read-only probe: value for `k`, or -1 when absent.
+  inline int64_t find(uint64_t k) const {
+    if (keys_.empty()) return -1;
+    size_t j = hash(k) & mask_;
+    while (true) {
+      if (keys_[j] == EMPTY) return -1;
+      if (keys_[j] == k) return vals_[j];
+      j = (j + 1) & mask_;
+    }
+  }
 };
 
 // ------------------------------------------------------------- Mapper ----
@@ -149,6 +160,18 @@ struct Mapper {
     auto res = map.emplace(key(batch, node), count);
     if (res.second) count++;
     return res;
+  }
+
+  // Read-only lookup: local id, or -1 when the node was never inserted
+  // (the undirected induced-subgraph pass probes every neighbor of every
+  // sampled node without mutating the map).
+  inline int64_t lookup(int64_t batch, int64_t node) const {
+    if (node < 0 || node >= num_nodes) {
+      auto it = rare.find(std::make_pair(batch, node));
+      return it == rare.end() ? -1 : it->second;
+    }
+    if (use_vec) return vec[(size_t)node];
+    return map.find(key(batch, node));
   }
 };
 

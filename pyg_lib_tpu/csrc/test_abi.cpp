@@ -22,8 +22,8 @@ SampleResult* pygt_neighbor_sample(
     const int64_t* seed, int64_t num_seed, const int64_t* fanouts,
     int64_t num_hops, const double* edge_weight, const int64_t* node_time,
     const int64_t* edge_time, const int64_t* seed_time, int32_t replace,
-    int32_t disjoint, int32_t temporal_last, int32_t return_edge_id,
-    int32_t distributed, uint64_t rng_seed);
+    int32_t directed, int32_t disjoint, int32_t temporal_last,
+    int32_t return_edge_id, int32_t distributed, uint64_t rng_seed);
 void pygt_result_sizes(SampleResult*, int64_t* sizes);
 void pygt_result_copy(SampleResult*, int64_t* rows, int64_t* cols,
                       int64_t* eids, int64_t* nodes, int64_t* batches,
@@ -40,8 +40,8 @@ HeteroResult* pygt_hetero_sample(
     const int64_t* node_time_off, const int64_t* edge_time_cat,
     const int64_t* seed_time_cat, const int32_t* has_weight,
     const int32_t* has_edge_time, const int32_t* has_node_time,
-    int32_t replace, int32_t disjoint, int32_t temporal_last,
-    int32_t return_edge_id, uint64_t rng_seed);
+    int32_t replace, int32_t directed, int32_t disjoint,
+    int32_t temporal_last, int32_t return_edge_id, uint64_t rng_seed);
 void pygt_hetero_sizes(HeteroResult*, int64_t* edge_sizes,
                        int64_t* node_sizes);
 void pygt_hetero_free(HeteroResult*);
@@ -61,11 +61,13 @@ static SampleResult* homo(const std::vector<int64_t>& rowptr,
                           const std::vector<int64_t>& seed,
                           const std::vector<int64_t>& fanouts,
                           int32_t disjoint = 0,
-                          const int64_t* node_time = nullptr) {
+                          const int64_t* node_time = nullptr,
+                          int32_t directed = 1) {
   return pygt_neighbor_sample(
       rowptr.data(), col.data(), (int64_t)rowptr.size() - 1, seed.data(),
       (int64_t)seed.size(), fanouts.data(), (int64_t)fanouts.size(),
-      nullptr, node_time, nullptr, nullptr, 0, disjoint, 0, 1, 0, 42);
+      nullptr, node_time, nullptr, nullptr, 0, directed, disjoint, 0, 1, 0,
+      42);
 }
 
 int main() {
@@ -172,7 +174,7 @@ int main() {
         2, 1, src_type, dst_type, rowptr_cat.data(), rowptr_off.data(),
         col_cat.data(), col_off.data(), num_nodes.data(), seed_cat.data(),
         seed_off.data(), fanouts.data(), 1, nullptr, nullptr, nullptr,
-        nullptr, nullptr, has_w, has_et, has_nt, 0, 0, 0, 1, 9);
+        nullptr, nullptr, has_w, has_et, has_nt, 0, 1, 0, 0, 1, 9);
     CHECK(h != nullptr);
     int64_t edge_sizes[1], node_sizes[2];
     pygt_hetero_sizes(h, edge_sizes, node_sizes);
@@ -203,8 +205,46 @@ int main() {
         col_cat.data(), col_off.data(), num_nodes.data(), seed_cat.data(),
         seed_off.data(), fanouts.data(), 1, nullptr, node_time_cat.data(),
         node_time_off.data(), nullptr, nullptr, has_w, has_et, has_nt, 0,
-        1, 0, 1, 9);
+        1, 1, 0, 1, 9);
     CHECK(h == nullptr);
+  }
+
+  // 8. Undirected induced subgraph on the 6-cycle: seed {0}, fanout
+  //    {-1} samples nodes {0, 5, 1}; induced edges are every cycle edge
+  //    among them: 0->5, 0->1, 5->0, 1->0 (2 local edges per node order).
+  {
+    const int64_t n = 6;
+    std::vector<int64_t> rowptr(n + 1), col(2 * n);
+    for (int64_t v = 0; v <= n; ++v) rowptr[v] = 2 * v;
+    for (int64_t v = 0; v < n; ++v) {
+      col[2 * v] = (v - 1 + n) % n;
+      col[2 * v + 1] = (v + 1) % n;
+    }
+    std::vector<int64_t> seed = {0};
+    std::vector<int64_t> fan = {-1};
+    auto* r = homo(rowptr, col, seed, fan, /*disjoint=*/0, nullptr,
+                   /*directed=*/0);
+    CHECK(r != nullptr);
+    int64_t sizes[5];
+    pygt_result_sizes(r, sizes);
+    CHECK(sizes[1] == 3);  // nodes {0, 5, 1}
+    CHECK(sizes[0] == 4);  // induced: 0->5, 0->1, 5->0, 1->0
+    CHECK(sizes[4] == 1);  // ONE edges_per_hop entry (induced total)
+    std::vector<int64_t> rows(sizes[0]), cols(sizes[0]), eids(sizes[2]),
+        nodes(sizes[1]), batches(sizes[1]), nph(sizes[3]), eph(sizes[4]);
+    pygt_result_copy(r, rows.data(), cols.data(), eids.data(),
+                     nodes.data(), batches.data(), nph.data(), eph.data());
+    CHECK(eph[0] == 4);
+    // local-row order: node 0 first (edges to locals 1, 2), then 5, 1.
+    CHECK(rows[0] == 0 && cols[0] == 1);  // 0 -> 5
+    CHECK(rows[1] == 0 && cols[1] == 2);  // 0 -> 1
+    CHECK(rows[2] == 1 && cols[2] == 0);  // 5 -> 0 (5's nbr 4 unsampled)
+    CHECK(rows[3] == 2 && cols[3] == 0);  // 1 -> 0 (1's nbr 2 unsampled)
+    pygt_result_free(r);
+
+    // Undirected + disjoint -> NULL.
+    CHECK(homo(rowptr, col, seed, fan, /*disjoint=*/1, nullptr,
+               /*directed=*/0) == nullptr);
   }
 
   std::printf("ABI TESTS PASSED\n");

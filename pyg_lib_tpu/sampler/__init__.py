@@ -78,7 +78,18 @@ def neighbor_sample(
     ``(row, col, node_id, edge_id?, num_sampled_nodes_per_hop,
     num_sampled_edges_per_hop)`` with local (relabelled) row/col ids; in
     disjoint mode ``node_id`` has shape ``[N, 2]`` carrying
-    ``(batch, node)`` pairs.  Extra ``rng`` arg fixes the random stream;
+    ``(batch, node)`` pairs.
+
+    ``directed=False`` returns ALL edges among the sampled nodes (the
+    induced subgraph) instead of the per-hop sampled edges — the
+    semantics the reference documents (``pyg_lib/sampler/__init__.py:69``)
+    but rejects in its kernel (``neighbor_kernel.cpp:501``). Node
+    discovery (and hence the node set) is identical to ``directed=True``
+    under the same ``rng``; hop attribution is meaningless for induced
+    edges, so ``num_sampled_edges_per_hop`` is the single-entry list
+    ``[num_edges]``. Incompatible with ``disjoint=True``.
+
+    Extra ``rng`` arg fixes the random stream;
     ``impl`` selects 'cpp' (native fast path), 'numpy' (specification), or
     'auto' (cpp when built and ``rng`` is not a Generator).
     """
@@ -97,15 +108,16 @@ def neighbor_sample(
     if edge_weight is not None and (node_time is not None
                                     or edge_time is not None):
         raise ValueError('Biased temporal sampling not yet supported')
-    if not directed:
-        raise NotImplementedError('Undirected subgraphs not yet supported')
+    if not directed and disjoint:
+        raise ValueError(
+            'Undirected sampling cannot create disjoint subgraphs')
 
     use_cpp = False
     if impl == 'cpp':
         use_cpp = True
     elif impl == 'auto':
         from pyg_lib_tpu.sampler import _cpp
-        use_cpp = (directed and not isinstance(rng, np.random.Generator)
+        use_cpp = (not isinstance(rng, np.random.Generator)
                    and _cpp.get_lib() is not None)
     if use_cpp:
         from pyg_lib_tpu.sampler._cpp import (neighbor_sample_cpp,
@@ -115,7 +127,7 @@ def neighbor_sample(
             _np(rowptr), _np(col), _np(seed), list(num_neighbors),
             node_time=_np(node_time), edge_time=_np(edge_time),
             seed_time=_np(seed_time), edge_weight=_np(edge_weight),
-            csc=csc, replace=replace, disjoint=disjoint,
+            csc=csc, replace=replace, directed=directed, disjoint=disjoint,
             temporal_strategy=temporal_strategy,
             return_edge_id=return_edge_id, rng_seed=seed_int)
     return neighbor_sample_np(
@@ -155,6 +167,12 @@ def hetero_neighbor_sample(
     key dicts by tuples, ``csrc/utils/types.h:6-13``).  ``impl`` selects
     'cpp' (native fast path, thread-per-dst-type like the reference's
     ``at::parallel_for`` grouping), 'numpy' (specification), or 'auto'.
+
+    ``directed=False`` returns, per edge type, ALL edges between sampled
+    src-type and dst-type nodes (the induced subgraph) instead of the
+    per-hop sampled edges; ``num_sampled_edges_per_hop[k]`` is then the
+    single-entry list ``[num_edges_k]`` (see ``neighbor_sample``).
+    Incompatible with ``disjoint=True``.
     """
     # Shared argument validation (mirrors _hetero_impl and the reference
     # checks, csrc/sampler/cpu/neighbor_kernel.cpp:544-575).
@@ -169,9 +187,9 @@ def hetero_neighbor_sample(
         raise ValueError('Seed time needs to be specified')
     if temporal_strategy not in ('uniform', 'last'):
         raise ValueError('No valid temporal strategy found')
-    if not directed:
-        raise NotImplementedError(
-            'Undirected heterogeneous graphs not yet supported')
+    if not directed and disjoint:
+        raise ValueError(
+            'Undirected sampling cannot create disjoint subgraphs')
 
     conv = lambda d: None if d is None else {k: _np(v) for k, v in d.items()}
     use_cpp = False
@@ -179,7 +197,7 @@ def hetero_neighbor_sample(
         use_cpp = True
     elif impl == 'auto':
         from pyg_lib_tpu.sampler import _cpp
-        use_cpp = (directed and not isinstance(rng, np.random.Generator)
+        use_cpp = (not isinstance(rng, np.random.Generator)
                    and _cpp.get_lib() is not None)
     if use_cpp:
         from pyg_lib_tpu.sampler._cpp import (hetero_neighbor_sample_cpp,
@@ -192,7 +210,7 @@ def hetero_neighbor_sample(
             edge_time_dict=conv(edge_time_dict),
             seed_time_dict=conv(seed_time_dict),
             edge_weight_dict=conv(edge_weight_dict), csc=csc,
-            replace=replace, disjoint=disjoint,
+            replace=replace, directed=directed, disjoint=disjoint,
             temporal_strategy=temporal_strategy,
             return_edge_id=return_edge_id, rng_seed=seed_int)
     return hetero_neighbor_sample_np(

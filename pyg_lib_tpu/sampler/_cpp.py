@@ -63,7 +63,7 @@ def get_lib():
         i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p,
         ctypes.c_int64, f64p, i64p, i64p, i64p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_uint64,
+        ctypes.c_int32, ctypes.c_uint64,
     ]
     lib.pygt_result_sizes.argtypes = [ctypes.c_void_p, i64p]
     lib.pygt_result_copy.argtypes = [ctypes.c_void_p] + [i64p] * 7
@@ -74,7 +74,7 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64, i32p, i32p, i64p, i64p, i64p, i64p,
         i64p, i64p, i64p, i64p, ctypes.c_int64, f64p, i64p, i64p, i64p,
         i64p, i32p, i32p, i32p, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
     ]
     lib.pygt_hetero_sizes.argtypes = [ctypes.c_void_p, i64p, i64p]
     lib.pygt_hetero_copy_edges.argtypes = [
@@ -82,8 +82,18 @@ def get_lib():
     lib.pygt_hetero_copy_nodes.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, i64p, i64p, i64p]
     lib.pygt_hetero_free.argtypes = [ctypes.c_void_p]
+    lib.pygt_set_num_threads.argtypes = [ctypes.c_int32]
+    lib.pygt_get_max_threads.restype = ctypes.c_int32
     _lib = lib
     return _lib
+
+
+def set_num_threads(n: int) -> None:
+    """Set the OpenMP width of the native sampling library at runtime
+    (``OMP_NUM_THREADS`` is only consulted at load time)."""
+    lib = get_lib()
+    if lib is not None:
+        lib.pygt_set_num_threads(int(n))
 
 
 def rng_seed_from(rng) -> int:
@@ -110,6 +120,7 @@ def neighbor_sample_cpp(
     edge_weight: Optional[np.ndarray] = None,
     csc: bool = False,
     replace: bool = False,
+    directed: bool = True,
     disjoint: bool = False,
     temporal_strategy: str = 'uniform',
     return_edge_id: bool = True,
@@ -137,7 +148,7 @@ def neighbor_sample_cpp(
     handle = lib.pygt_neighbor_sample(
         _ptr(rowptr), _ptr(col), len(rowptr) - 1, _ptr(seed), len(seed),
         _ptr(fanouts), len(fanouts), _ptr(ew, ctypes.c_double), _ptr(nt),
-        _ptr(et), _ptr(st), int(replace), int(disjoint),
+        _ptr(et), _ptr(st), int(replace), int(directed), int(disjoint),
         int(temporal_strategy == 'last'), int(return_edge_id),
         int(distributed), rng_seed & (2**64 - 1))
     if not handle:
@@ -224,6 +235,7 @@ def hetero_neighbor_sample_cpp(
     edge_weight_dict=None,
     csc: bool = False,
     replace: bool = False,
+    directed: bool = True,
     disjoint: bool = False,
     temporal_strategy: str = 'uniform',
     return_edge_id: bool = True,
@@ -257,8 +269,9 @@ def hetero_neighbor_sample_cpp(
                             edge_weight_dict)
         _HETERO_CACHE[fp] = g
     return _hetero_sample_run(lib, g, seed_dict, num_neighbors_dict,
-                              seed_time_dict, csc, replace, disjoint,
-                              temporal_strategy, return_edge_id, rng_seed)
+                              seed_time_dict, csc, replace, directed,
+                              disjoint, temporal_strategy, return_edge_id,
+                              rng_seed)
 
 
 def _cat(arrs, dtype):
@@ -374,7 +387,7 @@ def _hetero_build(self, rowptr_dict, col_dict, seed_types, csc,
 
 
 def _hetero_sample_run(lib, g, seed_dict, num_neighbors_dict, seed_time_dict,
-                       csc, replace, disjoint, temporal_strategy,
+                       csc, replace, directed, disjoint, temporal_strategy,
                        return_edge_id, rng_seed):
     edge_types, node_types = g.edge_types, g.node_types
     T, K = g.T, g.K
@@ -430,9 +443,9 @@ def _hetero_sample_run(lib, g, seed_dict, num_neighbors_dict, seed_time_dict,
         _ptr(g.weight_cat, ctypes.c_double), _ptr(g.node_time_cat),
         _ptr(g.node_time_off), _ptr(g.edge_time_cat), _ptr(seed_time_cat),
         _ptr(g.has_weight, i32), _ptr(g.has_edge_time, i32),
-        _ptr(g.has_node_time, i32), int(replace), int(disjoint),
-        int(temporal_strategy == 'last'), int(return_edge_id),
-        rng_seed & (2**64 - 1))
+        _ptr(g.has_node_time, i32), int(replace), int(directed),
+        int(disjoint), int(temporal_strategy == 'last'),
+        int(return_edge_id), rng_seed & (2**64 - 1))
     if not handle:
         raise IndexError(
             "hetero_neighbor_sample: a seed id is outside its node type's "
@@ -449,7 +462,8 @@ def _hetero_sample_run(lib, g, seed_dict, num_neighbors_dict, seed_time_dict,
             rows = np.empty(ne, np.int64)
             cc = np.empty(ne, np.int64)
             eids = np.empty(ne if return_edge_id else 0, np.int64)
-            eph = np.empty(L, np.int64)
+            # Undirected mode emits ONE induced-edge total per type.
+            eph = np.empty(L if directed else 1, np.int64)
             lib.pygt_hetero_copy_edges(handle, i, _ptr(rows), _ptr(cc),
                                        _ptr(eids), _ptr(eph))
             r, c = rows, cc
@@ -498,6 +512,55 @@ def _register_graph_ops(lib):
                                         ctypes.c_double, ctypes.c_uint64,
                                         i64p]
     lib._graph_ops_registered = True
+
+
+def _register_partition(lib):
+    if hasattr(lib, '_partition_registered'):
+        return
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.pygt_part_grow.argtypes = [
+        i64p, i64p, ctypes.c_int64, f64p, ctypes.c_int64, f64p, i64p,
+        ctypes.c_int64, i64p, ctypes.c_int64, i64p, f64p]
+    lib.pygt_part_refine.restype = ctypes.c_int64
+    lib.pygt_part_refine.argtypes = [
+        i64p, i64p, ctypes.c_int64, f64p, f64p, i64p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_double]
+    lib.pygt_edge_cut.restype = ctypes.c_double
+    lib.pygt_edge_cut.argtypes = [i64p, i64p, ctypes.c_int64, i64p, f64p]
+    lib._partition_registered = True
+
+
+def part_grow_cpp(rowptr, col, nw, k, targets, sub, seeds, part, load):
+    """C++ balanced BFS growth; mutates ``part``/``load`` in place."""
+    lib = get_lib()
+    assert lib is not None
+    _register_partition(lib)
+    lib.pygt_part_grow(
+        _ptr(rowptr), _ptr(col), len(rowptr) - 1,
+        _ptr(nw, ctypes.c_double), k, _ptr(targets, ctypes.c_double),
+        _ptr(sub), 0 if sub is None else len(sub), _ptr(seeds), len(seeds),
+        _ptr(part), _ptr(load, ctypes.c_double))
+
+
+def part_refine_cpp(rowptr, col, nw, ew, part, k, passes, balance):
+    """C++ greedy boundary refinement; mutates ``part`` in place."""
+    lib = get_lib()
+    assert lib is not None
+    _register_partition(lib)
+    return lib.pygt_part_refine(
+        _ptr(rowptr), _ptr(col), len(rowptr) - 1,
+        _ptr(nw, ctypes.c_double), _ptr(ew, ctypes.c_double), _ptr(part),
+        k, passes, float(balance))
+
+
+def edge_cut_cpp(rowptr, col, part, ew=None):
+    """C++ streaming (weighted) edge cut."""
+    lib = get_lib()
+    assert lib is not None
+    _register_partition(lib)
+    return lib.pygt_edge_cut(_ptr(rowptr), _ptr(col), len(rowptr) - 1,
+                             _ptr(part), _ptr(ew, ctypes.c_double))
 
 
 def subgraph_cpp(rowptr, col, nodes, return_edge_id=True):

@@ -57,9 +57,9 @@ def hetero_neighbor_sample_np(
             'Only one of node-level or edge-level sampling is supported')
     if edge_time_dict is not None and seed_time_dict is None:
         raise ValueError('Seed time needs to be specified')
-    if not directed:
-        raise NotImplementedError(
-            'Undirected heterogeneous graphs not yet supported')
+    if not directed and disjoint:
+        raise ValueError(
+            'Undirected sampling cannot create disjoint subgraphs')
     if rng is None:
         rng = np.random.default_rng()
 
@@ -154,15 +154,41 @@ def hetero_neighbor_sample_np(
                         mappers[dst][key] = res
                         sampled_batch[dst].append(b)
                         sampled_nodes[dst].append(w)
+                    if not directed:
+                        continue  # induced pass emits edges after all hops
                     hop_edges += 1
                     rows[k].append(i)
                     cols[k].append(res)
                     if return_edge_id:
                         eids[k].append(e)
-            num_edges_per_hop[k].append(hop_edges)
+            if directed:
+                num_edges_per_hop[k].append(hop_edges)
         for t in node_types:
             slices[t] = (slices[t][1], len(sampled_nodes[t]))
             num_nodes_per_hop[t].append(slices[t][1] - slices[t][0])
+
+    if not directed:
+        # Per-edge-type induced-subgraph pass (reference-documented
+        # undirected semantics, ``pyg_lib/sampler/__init__.py:69``; its
+        # kernel rejects it, ``neighbor_kernel.cpp:822``): every type-k
+        # CSR slot from a sampled src node to a sampled dst node becomes
+        # a local edge. ``num_edges_per_hop[k]`` carries ONE entry.
+        for k in edge_types:
+            src, dst = src_of(k), dst_of(k)
+            rowptr, col = rowptr_dict[k], col_dict[k]
+            n_src = len(rowptr) - 1
+            for i, v in enumerate(sampled_nodes[src]):
+                if v < 0 or v >= n_src:
+                    continue  # no out-edges of this type
+                for e in range(int(rowptr[v]), int(rowptr[v + 1])):
+                    loc = mappers[dst].get(int(col[e]))
+                    if loc is None:
+                        continue
+                    rows[k].append(i)
+                    cols[k].append(loc)
+                    if return_edge_id:
+                        eids[k].append(e)
+            num_edges_per_hop[k].append(len(rows[k]))
 
     out_node_id = {}
     for t in node_types:

@@ -119,8 +119,9 @@ def neighbor_sample_np(
     if edge_weight is not None and (node_time is not None
                                     or edge_time is not None):
         raise ValueError('Biased temporal sampling not yet supported')
-    if not directed:
-        raise NotImplementedError('Undirected subgraphs not yet supported')
+    if not directed and disjoint:
+        raise ValueError(
+            'Undirected sampling cannot create disjoint subgraphs')
     if rng is None:
         rng = np.random.default_rng()
 
@@ -186,6 +187,8 @@ def neighbor_sample_np(
                     mapper[key] = res
                     sampled_batch.append(batch)
                     sampled_nodes.append(w)
+                if not directed:
+                    continue  # induced pass emits edges after all hops
                 hop_edges += 1
                 rows.append(i)
                 cols.append(res)
@@ -193,7 +196,27 @@ def neighbor_sample_np(
                     edge_ids.append(e)
         begin, end = end, len(sampled_nodes)
         num_sampled_nodes_per_hop.append(end - begin)
-        num_sampled_edges_per_hop.append(hop_edges)
+        if directed:
+            num_sampled_edges_per_hop.append(hop_edges)
+
+    if not directed:
+        # Induced-subgraph pass (the reference DOCUMENTS this semantics —
+        # ``pyg_lib/sampler/__init__.py:69`` "include all edges between
+        # all sampled nodes" — but its kernel rejects it,
+        # ``neighbor_kernel.cpp:501``; implemented here): every CSR slot
+        # whose endpoint was sampled becomes a local edge, in local-row
+        # order. Hop attribution is meaningless for induced edges, so
+        # ``num_sampled_edges_per_hop`` carries ONE entry: the total.
+        for i, v in enumerate(sampled_nodes):
+            for e in range(int(rowptr[v]), int(rowptr[v + 1])):
+                loc = mapper.get(int(col[e]))
+                if loc is None:
+                    continue
+                rows.append(i)
+                cols.append(loc)
+                if return_edge_id:
+                    edge_ids.append(e)
+        num_sampled_edges_per_hop.append(len(rows))
 
     if disjoint:
         node_id = np.stack([
