@@ -22,7 +22,8 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from pyg_lib_tpu import sampler
-from pyg_lib_tpu.sampler.padding import budget_for, pad_sample_output
+from pyg_lib_tpu.sampler.padding import (BudgetExceeded, bucket_ladder,
+                                         budget_for, pad_sample_output)
 
 __all__ = ['NeighborLoader', 'HeteroNeighborLoader',
            'DistNeighborLoader']
@@ -38,8 +39,19 @@ class NeighborLoader:
         seeds: ``[S]`` seed node ids to iterate over (one epoch).
         batch_size: seeds per mini-batch.
         num_neighbors: per-hop fanouts (all >= 0 for a static budget).
-        max_nodes / max_edges: padding budget; default = worst case from
-            :func:`pyg_lib_tpu.sampler.padding.budget_for`.
+        max_nodes / max_edges: explicit padding budget.  When given, they
+            become the FIRST bucket; the worst-case budget is appended
+            as the overflow bucket, so no edge is ever dropped.  When
+            omitted, the base bucket is sized from measured statistics:
+            a few probe batches are sampled at construction and the
+            observed max (x ``probe_margin``) becomes the base — the
+            worst case for [25,10]-style fanouts is ~26x a typical batch
+            (SURVEY.md §7 hard part 1), so probing routinely saves >20x
+            batch memory.  Each bucket is one compiled step shape;
+            realistic runs stay in the base bucket (see
+            ``bucket_counts``).
+        buckets: explicit list of ``(max_nodes, max_edges)`` pairs
+            (ascending) overriding the ladder entirely.
         num_workers: sampling threads.
         lookahead: batches in flight ahead of the consumer.
         rng: base seed; batch ``i`` of epoch ``e`` uses stream
@@ -53,7 +65,9 @@ class NeighborLoader:
     def __init__(self, rowptr, col, x, y, seeds, batch_size: int,
                  num_neighbors: List[int],
                  max_nodes: Optional[int] = None,
-                 max_edges: Optional[int] = None, num_workers: int = 2,
+                 max_edges: Optional[int] = None,
+                 buckets: Optional[List] = None,
+                 probe_margin: float = 1.25, num_workers: int = 2,
                  lookahead: int = 2, rng: int = 0, device=None,
                  drop_last: bool = True, **sample_kwargs):
         self.rowptr = np.ascontiguousarray(rowptr, np.int64)
@@ -63,12 +77,23 @@ class NeighborLoader:
         self.seeds = np.asarray(seeds, np.int64)
         self.batch_size = batch_size
         self.num_neighbors = list(num_neighbors)
-        if max_nodes is None or max_edges is None:
-            bn, be = budget_for(batch_size, self.num_neighbors, slack=1.0)
-            max_nodes = max_nodes or bn
-            max_edges = max_edges or be
-        self.max_nodes = max_nodes
-        self.max_edges = max_edges
+        self.sample_kwargs = sample_kwargs
+        if buckets is not None:
+            # Explicit ladder: the caller owns the lossless-final-rung
+            # guarantee (required for full-fanout loaders, whose worst
+            # case is the whole graph).
+            self.buckets = [tuple(b) for b in buckets]
+        else:
+            worst = budget_for(batch_size, self.num_neighbors, slack=1.0)
+            if max_nodes is not None or max_edges is not None:
+                self.buckets = bucket_ladder(max_nodes or worst[0],
+                                             max_edges or worst[1], *worst)
+            else:
+                self.buckets = bucket_ladder(
+                    *self._probe_budget(probe_margin), *worst)
+        # Overflow observability: batches padded per bucket.
+        self.bucket_counts = [0] * len(self.buckets)
+        self.max_nodes, self.max_edges = self.buckets[-1]
         self.num_workers = num_workers
         self.lookahead = max(lookahead, 1)
         self.rng = rng
@@ -83,14 +108,43 @@ class NeighborLoader:
         return s // self.batch_size if self.drop_last else -(
             -s // self.batch_size)
 
+    def _probe_budget(self, margin: float):
+        """Sample a few UNPADDED probe batches to size the base bucket
+        (slack < 1.0 relative to the worst case, measured not guessed)."""
+        rng = np.random.default_rng(0x9E3779B9)
+        mn, me = 1, 1
+        for _ in range(4):
+            ids = rng.choice(len(self.seeds),
+                             size=min(self.batch_size, len(self.seeds)),
+                             replace=False)
+            out = sampler.neighbor_sample(
+                self.rowptr, self.col, self.seeds[ids], self.num_neighbors,
+                rng=int(rng.integers(2**63)), **self.sample_kwargs)
+            mn = max(mn, len(out[2]))
+            me = max(me, len(out[0]))
+        return int(mn * margin), int(me * margin)
+
+    def _pad_to_bucket(self, out, num_seeds: int, disjoint: bool):
+        """Pad into the smallest bucket that fits; overflow falls through
+        to the next rung (last rung = worst case, so nothing is ever
+        dropped). Returns the padded batch."""
+        for bi, (bn, be) in enumerate(self.buckets):
+            try:
+                b = pad_sample_output(out, bn, be, num_seeds=num_seeds,
+                                      disjoint=disjoint)
+            except BudgetExceeded:
+                continue
+            self.bucket_counts[bi] += 1
+            return b
+        raise BudgetExceeded(  # unreachable: last bucket is worst-case
+            f'sample exceeds even the worst-case bucket {self.buckets[-1]}')
+
     def _make_batch(self, seed_ids: np.ndarray, stream: int) -> Dict:
         out = sampler.neighbor_sample(self.rowptr, self.col, seed_ids,
                                       self.num_neighbors, rng=stream,
                                       **self.sample_kwargs)
-        b = pad_sample_output(out, self.max_nodes, self.max_edges,
-                              num_seeds=len(seed_ids),
-                              disjoint=self.sample_kwargs.get(
-                                  'disjoint', False))
+        b = self._pad_to_bucket(out, len(seed_ids),
+                                self.sample_kwargs.get('disjoint', False))
         nodes = b.node_id
         batch = {
             'x': self.x[nodes],
@@ -294,6 +348,13 @@ class DistNeighborLoader(NeighborLoader):
         if not isinstance(graph, DistGraph):
             raise TypeError('DistNeighborLoader needs a DistGraph '
                             '(see sampler.dist_service.partition_graph)')
+        if ('max_nodes' not in kw and 'max_edges' not in kw
+                and 'buckets' not in kw):
+            # The base-class probe would sample the dummy local CSR below;
+            # default to the worst-case single bucket instead (callers
+            # wanting a ladder pass explicit budgets/buckets).
+            kw['max_nodes'], kw['max_edges'] = budget_for(
+                batch_size, list(num_neighbors), slack=1.0)
         super().__init__(np.zeros(1, np.int64), np.zeros(0, np.int64), x,
                          y, seeds, batch_size, num_neighbors, **kw)
         self._graph = graph
@@ -306,9 +367,8 @@ class DistNeighborLoader(NeighborLoader):
         ds = DistNeighborSampler(self._graph, rng=stream,
                                  replace=self._replace, impl=self._impl)
         row, col, node_id, nph = ds.sample(seed_ids, self.num_neighbors)
-        b = pad_sample_output((row, col, node_id, None, nph, []),
-                              self.max_nodes, self.max_edges,
-                              num_seeds=len(seed_ids))
+        b = self._pad_to_bucket((row, col, node_id, None, nph, []),
+                                len(seed_ids), disjoint=False)
         nodes = b.node_id
         batch = {
             'x': self.x[nodes],

@@ -28,6 +28,7 @@ __all__ = [
     'PaddedBatch',
     'PaddedHeteroBatch',
     'budget_for',
+    'bucket_ladder',
     'pad_sample_output',
     'pad_hetero_sample_output',
     'to_padded_csr',
@@ -55,6 +56,26 @@ def budget_for(num_seeds: int, fanouts: List[int],
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def bucket_ladder(base_nodes: int, base_edges: int, worst_nodes: int,
+                  worst_edges: int) -> List[Tuple[int, int]]:
+    """Ascending ``(max_nodes, max_edges)`` buckets: the base (sized from
+    measured batch statistics), power-of-two steps up, and ALWAYS the
+    worst case last — so overflow recovery is lossless no matter how
+    adversarial a batch is (SURVEY.md §7 hard part 1: re-bucket, never
+    drop edges).  Each bucket is one compiled shape; a well-chosen base
+    keeps realistic runs inside the first bucket (>=95% in practice;
+    see ``tests/test_loader.py``)."""
+    base_nodes = min(_round_up(max(base_nodes, 8), 8), worst_nodes)
+    base_edges = min(_round_up(max(base_edges, 8), 8), worst_edges)
+    ladder = [(base_nodes, base_edges)]
+    n, e = base_nodes, base_edges
+    while n < worst_nodes or e < worst_edges:
+        n = min(n * 2, worst_nodes)
+        e = min(e * 2, worst_edges)
+        ladder.append((n, e))
+    return ladder
 
 
 @dataclass

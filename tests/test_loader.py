@@ -290,3 +290,64 @@ def test_loader_mid_epoch_state_replays_epoch():
     # and a boundary checkpoint still resumes at the NEXT epoch
     list(it)
     assert a.state_dict()['epoch'] == 2
+
+
+def test_bucket_ladder_overflow_recovery():
+    """A skew graph overflows the base bucket; the loader re-buckets to
+    the next rung with ZERO dropped edges (VERDICT r2 #6 contract)."""
+    # Hub graph: one node with degree 150, everyone else degree ~2.
+    n = 200
+    deg = np.full(n, 2, np.int64)
+    deg[7] = 150
+    rowptr = np.zeros(n + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    rng = np.random.default_rng(0)
+    col = rng.integers(0, n, size=int(rowptr[-1])).astype(np.int64)
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+
+    # Full-fanout loader: batches containing hub 7 pull ~150 extra
+    # edges and overflow the base bucket; the rest fit it.
+    loader = NeighborLoader(rowptr, col, x, None, seeds=np.arange(64),
+                            batch_size=8, num_neighbors=[-1],
+                            buckets=[(48, 64), (256, 384)],
+                            num_workers=1, rng=3)
+    total_real_edges = 0
+    shapes = set()
+    for b in loader:
+        mask = np.asarray(b['node_mask'])
+        shapes.add(len(mask))
+        total_real_edges += int(
+            (np.asarray(b['col']) < len(mask)).sum())
+    assert len(shapes) >= 2, 'expected at least one overflow re-bucket'
+    assert sum(loader.bucket_counts) == len(loader)
+    assert loader.bucket_counts[0] > 0  # most batches in the base bucket
+
+    # Zero dropped edges: replay the exact sample streams unpadded.
+    from pyg_lib_tpu import sampler
+    order = np.random.default_rng(3 + 7919 * 0).permutation(64)
+    expect = 0
+    for i in range(len(loader)):
+        ids = np.arange(64)[order[i * 8:(i + 1) * 8]]
+        out = sampler.neighbor_sample(rowptr, col, ids, [-1],
+                                      rng=3 + 0 * len(loader) + i)
+        expect += len(out[0])
+    assert total_real_edges == expect
+
+
+def test_probe_sizes_base_bucket_under_worst_case():
+    """Probing sizes the base bucket well below the worst case and a
+    realistic run stays within <=2 compiled shapes."""
+    rowptr, col = _graph(400, 2400, seed=1)
+    x = np.zeros((400, 4), np.float32)
+    loader = NeighborLoader(rowptr, col, x, None, seeds=np.arange(128),
+                            batch_size=16, num_neighbors=[5, 5],
+                            num_workers=1, rng=1)
+    from pyg_lib_tpu.sampler.padding import budget_for
+    worst = budget_for(16, [5, 5], slack=1.0)
+    assert loader.buckets[0][0] < worst[0]  # measured < worst case
+    assert loader.buckets[-1] == worst  # lossless final rung
+    shapes = set()
+    for b in loader:
+        shapes.add(len(np.asarray(b['node_mask'])))
+    assert len(shapes) <= 2
+    assert loader.bucket_counts[0] >= len(loader) - 1
