@@ -24,9 +24,17 @@ __all__ = [
 def edge_cut(rowptr, col, part, edge_weight=None) -> float:
     """Total weight of edges crossing partitions (each direction counted
     once as stored) — the quantity ``metis`` minimises."""
-    rowptr = np.asarray(rowptr)
-    col = np.asarray(col)
-    part = np.asarray(part)
+    rowptr = np.ascontiguousarray(rowptr, np.int64)
+    col = np.ascontiguousarray(col, np.int64)
+    part = np.ascontiguousarray(part, np.int64)
+    from pyg_lib_tpu.sampler import _cpp
+
+    if _cpp.get_lib() is not None:
+        # Streaming C++ path: the numpy expansion below allocates O(E)
+        # temporaries, which this VM faults in at ~15 MB/s.
+        ew = None if edge_weight is None else np.ascontiguousarray(
+            edge_weight, np.float64)
+        return float(_cpp.edge_cut_cpp(rowptr, col, part, ew))
     row = np.repeat(np.arange(len(rowptr) - 1), np.diff(rowptr))
     crossing = part[row] != part[col]
     if edge_weight is None:
@@ -34,14 +42,31 @@ def edge_cut(rowptr, col, part, edge_weight=None) -> float:
     return float(np.asarray(edge_weight)[crossing].sum())
 
 
+def _neighbors_of(rowptr, col, frontier):
+    """All CSR slots of ``frontier`` rows, fully vectorised (no per-node
+    Python loop — the pre-round-3 deque BFS spent minutes at 10M nodes)."""
+    deg = rowptr[frontier + 1] - rowptr[frontier]
+    total = int(deg.sum())
+    if total == 0:
+        return col[:0]
+    cs = np.cumsum(deg)
+    idx = np.arange(total) + np.repeat(
+        rowptr[frontier] - np.concatenate(([0], cs[:-1])), deg)
+    return col[idx]
+
+
 def _grow(rowptr, col, nw, k, rng, nodes=None, targets=None):
     """Balanced multi-source BFS region growing over ``nodes`` (or all).
+
+    Level-synchronous: each round every still-hungry part claims its
+    whole unassigned frontier (a prefix of it when the weight target
+    would overflow), so each round is O(frontier edges) numpy work and
+    the total is O(E) — scale-shaped for 10M+ node graphs, unlike a
+    node-at-a-time Python queue.
 
     ``targets`` optionally gives per-part weight targets (default equal
     shares) — recursive bisection needs PROPORTIONAL targets when the
     two sides must host unequal partition counts (odd k)."""
-    from collections import deque
-
     n = len(rowptr) - 1
     sub = np.arange(n) if nodes is None else np.asarray(nodes)
     in_sub = np.zeros(n, bool)
@@ -51,30 +76,50 @@ def _grow(rowptr, col, nw, k, rng, nodes=None, targets=None):
     part = np.full(n, -1, np.int64)
     load = np.zeros(k)
     seeds = rng.choice(sub, size=min(k, len(sub)), replace=False)
-    queues = [deque([int(s)]) for s in seeds]
+    frontiers = []
     for p, s in enumerate(seeds):
         part[s] = p
         load[p] = nw[s]
+        frontiers.append(np.array([s], np.int64))
+    for p in range(len(seeds), k):
+        frontiers.append(np.zeros(0, np.int64))
+
     active = True
     while active:
         active = False
         for p in range(k):
-            if load[p] >= targets[p] or not queues[p]:
+            if load[p] >= targets[p] or len(frontiers[p]) == 0:
+                frontiers[p] = frontiers[p][:0]
                 continue
-            v = queues[p].popleft()
+            nbrs = _neighbors_of(rowptr, col, frontiers[p])
+            nbrs = nbrs[in_sub[nbrs] & (part[nbrs] < 0)]
+            if len(nbrs) == 0:
+                frontiers[p] = frontiers[p][:0]
+                continue
+            nbrs = np.unique(nbrs)  # claim each node once
+            # Prefix-take up to the remaining weight target.
+            w_cum = np.cumsum(nw[nbrs])
+            take = int(np.searchsorted(w_cum, targets[p] - load[p]) + 1)
+            nbrs = nbrs[:take]
+            part[nbrs] = p
+            load[p] += float(nw[nbrs].sum())
+            frontiers[p] = nbrs
             active = True
-            for e in range(rowptr[v], rowptr[v + 1]):
-                w = int(col[e])
-                if in_sub[w] and part[w] < 0:
-                    part[w] = p
-                    load[p] += nw[w]
-                    queues[p].append(w)
-            if queues[p]:
-                active = True
-    for v in sub[part[sub] < 0]:
-        p = int(np.argmin(load / np.maximum(targets, 1e-12)))
-        part[v] = p
-        load[p] += nw[v]
+
+    left = sub[part[sub] < 0]
+    if len(left):
+        # Fill deficits in one vectorised pass: split the leftover run
+        # into contiguous chunks proportional to each part's remaining
+        # weight headroom (argmin-per-node was O(n) Python at scale).
+        deficit = np.maximum(targets - load, 0.0)
+        if deficit.sum() <= 0:
+            deficit = np.ones(k)
+        w_cum = np.cumsum(nw[left])
+        bounds = np.cumsum(deficit) / deficit.sum() * w_cum[-1]
+        assign = np.searchsorted(bounds, w_cum, side='left')
+        assign = np.minimum(assign, k - 1)
+        part[left] = assign
+        load += np.bincount(assign, weights=nw[left], minlength=k)
     return part[sub], load
 
 
@@ -82,22 +127,59 @@ def _refine(rowptr, col, nw, ew, part, k, passes=2, balance=1.05):
     """Greedy boundary refinement: move a node to the partition holding
     most of its (weighted) incident edges when balance permits — a
     single-sweep Kernighan–Lin flavour that also gives ``edge_weight``
-    its METIS meaning (weighted cut minimisation)."""
+    its METIS meaning (weighted cut minimisation).
+
+    Boundary-only and sparse: per pass this touches O(edges incident to
+    boundary nodes) memory, never an ``[n, k]`` gain matrix (which at
+    papers100M scale, 100M x 16 f64, would be 12.8 GB — the round-2
+    implementation could not run at the size the partitioner exists
+    for).  Interior nodes (every neighbor in their own part) can only
+    lose from moving, so skipping them is exact, not approximate."""
     n = len(rowptr) - 1
     row = np.repeat(np.arange(n), np.diff(rowptr))
     load = np.bincount(part, weights=nw, minlength=k)
     cap = nw.sum() / k * balance
     for _ in range(passes):
+        cross = part[row] != part[col]
+        if not cross.any():
+            break
+        is_b = np.zeros(n, bool)
+        is_b[row[cross]] = True
+        sel = np.nonzero(is_b[row])[0]  # ALL edges of boundary nodes
+        r, cp, w = row[sel], part[col[sel]], ew[sel]
+        # Group incident weight by (node, neighbor part). CSR rows are
+        # contiguous so `r` is sorted; a stable key sort keeps it so.
+        key = r * k + cp
+        order = np.argsort(key, kind='stable')
+        key = key[order]
+        uniq, start = np.unique(key, return_index=True)
+        sums = np.add.reduceat(w[order], start)
+        node_of, part_of = uniq // k, uniq % k
+        # Per node: strongest partition and the weight in the current
+        # one (groups of `node_of` are contiguous).
+        nstart = np.unique(node_of, return_index=True)[1]
+        best_in_group = np.maximum.reduceat(sums, nstart)
+        cand_nodes = node_of[nstart]
+        own = np.zeros(len(cand_nodes))
+        own_mask = part_of == part[node_of]
+        own_pos = np.searchsorted(cand_nodes, node_of[own_mask])
+        own[own_pos] = sums[own_mask]
+        # Recover WHICH partition attains the max: the FIRST hit per
+        # group (lowest part id — the old argmax tie-break).
+        grp = np.searchsorted(nstart, np.arange(len(sums)), side='right') - 1
+        hit = sums == best_in_group[grp]
+        first_hit = np.full(len(cand_nodes), len(sums), np.int64)
+        np.minimum.at(first_hit, grp[hit], np.nonzero(hit)[0])
+        best_part = part_of[first_hit]
+
+        movers = np.nonzero(best_in_group > own)[0]
         moved = 0
-        # Per-node per-partition incident edge weight (vectorised).
-        gain = np.zeros((n, k))
-        np.add.at(gain, (row, part[col]), ew)
-        best = gain.argmax(1)
-        for v in np.nonzero(best != part)[0]:
-            p_old, p_new = int(part[v]), int(best[v])
-            if gain[v, p_new] <= gain[v, p_old]:
-                continue
-            if load[p_new] + nw[v] > cap:
+        # The move loop stays sequential (each move changes loads), but
+        # runs over boundary candidates only.
+        for j in movers:
+            v = int(cand_nodes[j])
+            p_old, p_new = int(part[v]), int(best_part[j])
+            if p_new == p_old or load[p_new] + nw[v] > cap:
                 continue
             part[v] = p_new
             load[p_old] -= nw[v]
@@ -108,9 +190,34 @@ def _refine(rowptr, col, nw, ew, part, k, passes=2, balance=1.05):
     return part
 
 
+def _grow_any(rowptr, col, nw, k, rng, nodes=None, targets=None,
+              use_cpp=False):
+    """Dispatch growth to the C++ fast path (zero O(E) temporaries) or
+    the numpy specification. Same contract as :func:`_grow`; the random
+    seeds are drawn HERE from ``rng`` so both paths consume the stream
+    identically."""
+    if not use_cpp:
+        return _grow(rowptr, col, nw, k, rng, nodes, targets)
+    from pyg_lib_tpu.sampler import _cpp
+
+    n = len(rowptr) - 1
+    sub = None if nodes is None else np.ascontiguousarray(nodes, np.int64)
+    pool = np.arange(n) if sub is None else sub
+    if targets is None:
+        targets = np.full(k, nw[pool].sum() / k)
+    seeds = np.ascontiguousarray(
+        rng.choice(pool, size=min(k, len(pool)), replace=False), np.int64)
+    part = np.full(n, -1, np.int64)
+    load = np.zeros(k, np.float64)
+    _cpp.part_grow_cpp(rowptr, col, np.ascontiguousarray(nw, np.float64),
+                       k, np.ascontiguousarray(targets, np.float64), sub,
+                       seeds, part, load)
+    return part[pool], load
+
+
 def metis(rowptr, col, num_partitions: int, node_weight=None,
           edge_weight=None, recursive: bool = False,
-          seed: int = 0) -> np.ndarray:
+          seed: int = 0, impl: str = 'auto') -> np.ndarray:
     """Partitions a graph into ``num_partitions`` parts, minimising
     (weighted) edge cut.  API parity: reference ``pyg_lib.partition.metis``
     (``pyg_lib/partition/__init__.py:7-39``).
@@ -122,18 +229,35 @@ def metis(rowptr, col, num_partitions: int, node_weight=None,
     ``PartGraphRecursive`` (repeated 2-way growth), ``False`` direct
     k-way. Cut quality is measured against a random-partition baseline in
     ``tests/test_classes_partition.py``; :func:`edge_cut` reports it.
+
+    ``impl``: 'cpp' (native fast path — zero O(E) temporaries, required
+    at 10M+ nodes), 'numpy' (specification), 'auto'.  The two paths make
+    identical seed draws but may diverge in BFS claim order; both
+    satisfy the same balance/quality contracts.
     """
-    rowptr = np.asarray(rowptr)
-    col = np.asarray(col)
+    rowptr = np.ascontiguousarray(rowptr, np.int64)
+    col = np.ascontiguousarray(col, np.int64)
     n = len(rowptr) - 1
-    nw = (np.ones(n) if node_weight is None else np.asarray(
+    nw = (np.ones(n) if node_weight is None else np.ascontiguousarray(
         node_weight, np.float64))
-    ew = (np.ones(len(col)) if edge_weight is None else np.asarray(
-        edge_weight, np.float64))
+    ew = (np.ones(len(col)) if edge_weight is None else
+          np.ascontiguousarray(edge_weight, np.float64))
     k = num_partitions
     if k <= 1:
         return np.zeros(n, np.int64)
     rng = np.random.default_rng(seed)
+
+    use_cpp = False
+    if impl == 'cpp':
+        use_cpp = True
+    elif impl == 'auto':
+        from pyg_lib_tpu.sampler import _cpp
+        use_cpp = _cpp.get_lib() is not None
+    if impl == 'cpp':
+        from pyg_lib_tpu.sampler import _cpp
+        if _cpp.get_lib() is None:
+            raise RuntimeError("impl='cpp' requested but the native "
+                               'library is unavailable')
 
     if recursive and k > 2:
         # Recursive bisection: split k into halves with proportional
@@ -150,8 +274,9 @@ def metis(rowptr, col, num_partitions: int, node_weight=None,
             # leave that side's partitions ~2x overloaded.
             w = nw[nodes].sum()
             frac = (mid - k_lo) / (k_hi - k_lo)
-            sub_part, _ = _grow(rowptr, col, nw, 2, rng, nodes,
-                                targets=np.array([frac, 1.0 - frac]) * w)
+            sub_part, _ = _grow_any(rowptr, col, nw, 2, rng, nodes,
+                                    targets=np.array([frac, 1.0 - frac]) * w,
+                                    use_cpp=use_cpp)
             left = nodes[sub_part == 0]
             right = nodes[sub_part == 1]
             bisect(left, k_lo, mid, offset)
@@ -159,7 +284,12 @@ def metis(rowptr, col, num_partitions: int, node_weight=None,
 
         bisect(np.arange(n), 0, k, 0)
     else:
-        part, _ = _grow(rowptr, col, nw, k, rng)
+        part, _ = _grow_any(rowptr, col, nw, k, rng, use_cpp=use_cpp)
+    if use_cpp:
+        from pyg_lib_tpu.sampler import _cpp
+        part = np.ascontiguousarray(part, np.int64)
+        _cpp.part_refine_cpp(rowptr, col, nw, ew, part, k, 2, 1.05)
+        return part
     return _refine(rowptr, col, nw, ew, part, k)
 
 
