@@ -152,6 +152,7 @@ def test_hetero_collective_fetch_8dev():
 # ------------------------------------------------- process transport -------
 
 
+@pytest.mark.slow
 def test_sampling_service_matches_inprocess():
     """Transported runs must be bit-identical to in-process runs (the
     rng seeds are computed coordinator-side; sampling is counter-based)."""
@@ -186,6 +187,7 @@ def test_sampling_service_matches_inprocess():
         np.testing.assert_array_equal(row2_r, row2_l)
 
 
+@pytest.mark.slow
 def test_sampling_service_hetero_matches_inprocess():
     from pyg_lib_tpu.sampler.dist_service import (
         HeteroDistNeighborSampler, partition_hetero_graph)
@@ -213,6 +215,7 @@ def test_sampling_service_hetero_matches_inprocess():
             np.testing.assert_array_equal(d_r[key], d_l[key])
 
 
+@pytest.mark.slow
 def test_sampling_service_error_propagates_and_survives():
     from pyg_lib_tpu.sampler.dist_service import partition_graph
     from pyg_lib_tpu.sampler.transport import SamplingService
@@ -230,6 +233,7 @@ def test_sampling_service_error_propagates_and_survives():
         assert nodes[0] == 0 and len(cumsum) == 2
 
 
+@pytest.mark.slow
 def test_sampling_service_drains_replies_on_partial_error():
     """A failed partition must not desynchronise the OTHER partitions'
     reply FIFOs: the next scatter still pairs requests with their own

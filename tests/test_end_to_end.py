@@ -4,6 +4,8 @@
 import sys
 import os
 
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
@@ -19,6 +21,7 @@ def test_minibatch_sage_learns():
     assert acc > 0.8, acc
 
 
+@pytest.mark.slow
 def test_hetero_rgcn_learns():
     from examples.train_rgcn_hetero import main
     acc = main(num_papers=200, num_authors=100, steps=40, batch_size=24,
@@ -48,6 +51,7 @@ def test_gcn_spmm_matches_padded_csr_path():
                                rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_gat_spmm_trains_on_sbm():
     import jax
     import jax.numpy as jnp

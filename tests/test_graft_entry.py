@@ -18,6 +18,7 @@ def test_entry_compiles_and_runs():
     assert bool(jax.numpy.isfinite(out).all())
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
 def test_dryrun_multichip_8():
     import __graft_entry__ as g

@@ -31,6 +31,7 @@ def batch():
     return b, x
 
 
+@pytest.mark.slow
 def test_gcn_forward_grad(batch):
     b, x = batch
     params = init_gcn(jax.random.key(0), [16, 32, 7])
@@ -76,6 +77,7 @@ def test_rgcn_forward():
     assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
@@ -114,6 +116,7 @@ def test_ring_halo_aggregate_matches_dense():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ring_halo_aggregate_grad():
     import jax
     import jax.numpy as jnp
@@ -145,6 +148,7 @@ def test_ring_halo_aggregate_grad():
     assert np.isclose(float(g[idx]), float(num), rtol=1e-2, atol=1e-1)
 
 
+@pytest.mark.slow
 def test_rgcn_planned_matches_per_relation_spmm():
     """The fused hetero plan (one grouped GEMM + one weighted reduce per
     dst type) must reproduce rgcn_forward_spmm exactly."""

@@ -49,6 +49,7 @@ print(json.dumps(digest, sort_keys=True))
 """
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(_cpp.get_lib() is None, reason='C++ engine unavailable')
 def test_hetero_sampler_bit_identical_across_omp_threads():
     outs = {}
