@@ -11,9 +11,14 @@ Prints one JSON line per path. Run on the TPU chip.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
 
 
 def main():
@@ -21,7 +26,7 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update('jax_compilation_cache_dir',
-                      '/root/repo/.jax_cache')
+                      os.path.join(HERE, '.jax_cache'))
     from pyg_lib_tpu.models import gnn
 
     rng = np.random.default_rng(0)

@@ -348,7 +348,16 @@ def scatter(
     reduce: str = 'sum',
 ) -> Array:
     """Polymorphic scatter dispatcher (reference
-    ``pyg_lib/ops/__init__.py:764-790``)."""
+    ``pyg_lib/ops/__init__.py:764-790``).
+
+    Dispatch policy (measured on TPU v5e, ``bench/bench_scatter_strategies.py``,
+    BENCHMARKS.md "Scatter strategy"): for UNSORTED indices XLA's native
+    scatter and an explicit argsort+gather+segment-sum tie (~34-77 GB/s
+    at E in {1M,4M}, F in {128,512}), so the native scatter stays the
+    default — the sort buys nothing once paid per call.  When indices
+    are ALREADY sorted (loader/plan pipelines), ``segment_coo`` with
+    ``sorted=True`` is ~2x faster (65-145 GB/s): sort once at plan-build
+    time, then stay on the segment path."""
     if reduce in ('sum', 'add'):
         return scatter_sum(src, index, dim, out, dim_size)
     if reduce == 'mul':
