@@ -869,3 +869,37 @@ def test_gather_csr_batched_parity():
     ref = _n(pyg.gather_csr(_t(src), _t(rowptr), None))
     out = np.asarray(ops.gather_csr(jnp.asarray(src), jnp.asarray(rowptr)))
     np.testing.assert_allclose(out, ref)
+
+
+# ------------------------------------------------- undirected sampling ----
+
+
+def test_undirected_sampling_matches_reference_subgraph():
+    """directed=False: the reference REJECTS the flag at kernel level
+    (neighbor_kernel.cpp:501 'Undirected subgraphs not yet supported')
+    while documenting induced-subgraph semantics; we implement them.
+    Cross-check: our induced edge set over the sampled nodes must equal
+    the reference's own ``subgraph`` kernel on that node set."""
+    rng = np.random.default_rng(23)
+    rowptr, col = _csr(rng, 60, 60, 300)
+    seeds = np.array([3, 7, 11], np.int64)
+
+    # 1. the reference rejects directed=False outright.
+    with pytest.raises(RuntimeError, match='[Uu]ndirected'):
+        pyg.neighbor_sample(_t(rowptr), _t(col), _t(seeds), [2, 2], None,
+                            None, None, None, False, False, False, False,
+                            'uniform', True)
+
+    # 2. our undirected output == reference subgraph over the same nodes.
+    row_u, col_u, nid, eid, _, eph = sampler.neighbor_sample(
+        rowptr, col, seeds, [-1, -1], directed=False, rng=0)
+    ref_ptr, ref_col, ref_eid = pyg.subgraph(_t(rowptr), _t(col), _t(nid),
+                                             True)
+    ref_ptr, ref_col, ref_eid = _n(ref_ptr), _n(ref_col), _n(ref_eid)
+    # Same CSR enumeration order: rows in local node order, slots in CSR
+    # order — so the flat sequences must match exactly.
+    np.testing.assert_array_equal(col_u, ref_col)
+    np.testing.assert_array_equal(eid, ref_eid)
+    row_expect = np.repeat(np.arange(len(nid)), np.diff(ref_ptr))
+    np.testing.assert_array_equal(row_u, row_expect)
+    assert eph == [len(ref_col)]
