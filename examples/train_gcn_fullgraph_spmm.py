@@ -14,6 +14,7 @@ import optax
 
 from pyg_lib_tpu import ops
 from pyg_lib_tpu.datasets import sbm_graph
+from pyg_lib_tpu.metrics import Metrics
 from pyg_lib_tpu.models import gcn_forward_spmm, init_gcn
 
 
@@ -47,9 +48,17 @@ def main():
         pred = gcn_forward_spmm(params, x, graph).argmax(-1)
         return jnp.where(mask, pred == y, False).sum() / mask.sum()
 
+    # Per-epoch HBM gauge: 2 layers × fwd+bwd SpMM passes over the edge
+    # slab (x rows per edge + output), the dominant traffic term.
+    e, f = len(d['col']), 64
+    metrics = Metrics(every=20, edges_per_step=2 * e,
+                      bytes_per_step=4 * (2 * e * f + 2 * d['x'].shape[0] * f))
     t0 = time.perf_counter()
     for epoch in range(60):
-        params, opt_state, loss = step(params, opt_state)
+        with metrics.phase('step'):
+            params, opt_state, loss = step(params, opt_state)
+        metrics.step(loss=loss)
+    print(f'metrics: {metrics.summary()}')
     print(f'60 epochs in {time.perf_counter() - t0:.1f}s, '
           f'final loss {float(loss):.4f}, '
           f'test acc {float(accuracy(params, test)):.3f}')

@@ -17,6 +17,7 @@ import optax
 
 from pyg_lib_tpu import sampler
 from pyg_lib_tpu.datasets import sbm_graph
+from pyg_lib_tpu.metrics import Metrics
 from pyg_lib_tpu.models import init_sage, sage_forward
 
 
@@ -67,14 +68,19 @@ def main(num_nodes: int = 1000, steps: int = 60, batch_size: int = 64,
                 jnp.asarray(labels), jnp.asarray(seed_mask))
 
     rng = np.random.default_rng(0)
+    metrics = Metrics(every=20, edges_per_step=max_edges,
+                      sink=None if verbose else lambda rec: None)
     t0 = time.perf_counter()
     for it in range(steps):
         seeds = rng.choice(train_idx, size=batch_size, replace=False)
-        batch = make_batch(seeds, it)
-        params, opt_state, loss = step(params, opt_state, *batch)
-        if verbose and (it + 1) % 20 == 0:
-            print(f'step {it+1}: loss={float(loss):.4f}')
+        with metrics.phase('sample'):
+            batch = make_batch(seeds, it)
+        with metrics.phase('step'):
+            params, opt_state, loss = step(params, opt_state, *batch)
+        metrics.step(loss=loss)
     elapsed = time.perf_counter() - t0
+    if verbose:
+        print(f'metrics: {metrics.summary()}')
 
     # Eval: full-neighborhood batches over test seeds.
     correct = total = 0

@@ -24,8 +24,8 @@ functions with ``custom_vjp``; the reference's stateful TorchScript classes
 become plain Python objects; its CUDA kernels become Pallas-TPU kernels.
 """
 
-from pyg_lib_tpu import (classes, loader, models, ops, parallel, partition,
-                         profiling, sampler, utils)
+from pyg_lib_tpu import (classes, loader, metrics, models, ops, parallel,
+                         partition, profiling, sampler, utils)
 from pyg_lib_tpu.home import get_home_dir, set_home_dir
 from pyg_lib_tpu._version import __version__
 
@@ -49,6 +49,7 @@ __all__ = [
     '__version__',
     'tpu_version',
     'classes',
+    'metrics',
     'models',
     'ops',
     'parallel',
