@@ -13,8 +13,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ['sbm_graph', 'powerlaw_graph', 'to_csr', 'load_csr', 'save_csr',
-           'get_sparse_matrix']
+__all__ = ['sbm_graph', 'powerlaw_graph', 'clustered_graph', 'to_csr',
+           'load_csr', 'save_csr', 'get_sparse_matrix']
 
 
 def to_csr(src: np.ndarray, dst: np.ndarray,
@@ -254,3 +254,37 @@ def powerlaw_graph(num_nodes: int, avg_degree: int = 16,
     rowptr[1:] = np.cumsum(deg)
     col = rng.integers(0, num_nodes, size=int(rowptr[-1])).astype(np.int64)
     return rowptr, col
+
+
+def clustered_graph(num_nodes: int, num_clusters: int,
+                    avg_degree: int = 16, p_intra: float = 0.9,
+                    seed: int = 0):
+    """Planted-partition graph at benchmark scale, O(E) generation.
+
+    Each node draws ``avg_degree`` neighbors, a ``p_intra`` fraction
+    uniformly within its own (equal-sized, id-contiguous) cluster and the
+    rest uniformly over the whole graph — the community structure of
+    real-world graphs (ogbn-class citation/product graphs) that
+    :func:`sbm_graph`'s O(n^2) sampler cannot reach at kernel-benchmark
+    sizes. Returns ``(rowptr, col, cluster)`` with nodes labeled
+    cluster-contiguously (shuffle with a random permutation to model an
+    unfavourable labeling).
+    """
+    rng = np.random.default_rng(seed)
+    size = -(-num_nodes // num_clusters)
+    deg = rng.poisson(avg_degree, size=num_nodes).astype(np.int64)
+    rowptr = np.zeros(num_nodes + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    e = int(rowptr[-1])
+    row = np.repeat(np.arange(num_nodes, dtype=np.int64), deg)
+    cluster_of_row = row // size
+    lo = cluster_of_row * size
+    hi = np.minimum(lo + size, num_nodes)
+    intra = rng.random(e) < p_intra
+    col = np.where(
+        intra,
+        lo + (rng.random(e) * (hi - lo)).astype(np.int64),
+        rng.integers(0, num_nodes, size=e),
+    )
+    cluster = (np.arange(num_nodes, dtype=np.int64) // size)
+    return rowptr, col.astype(np.int64), cluster

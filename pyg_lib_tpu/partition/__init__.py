@@ -16,9 +16,53 @@ import numpy as np
 
 __all__ = [
     'metis',
-    'edge_cut', 'mesh_edge_partition', 'EdgePartition',
+    'edge_cut', 'cluster_reorder', 'mesh_edge_partition', 'EdgePartition',
     'mesh_edge_partition_blocked', 'BlockedEdgePartition',
 ]
+
+
+def cluster_reorder(rowptr, col, part):
+    """Relabel nodes so each partition's ids are contiguous; permute CSR.
+
+    The gather side of SpMM on TPU is transaction-bound with a per-row
+    cost that depends on access *locality* (BENCHMARKS.md, DESIGN.md §9):
+    on clustered graphs, a partition-contiguous labeling concentrates
+    each row tile's gather indices in one small region of the feature
+    table. This is the TPU analog of the classic use of the reference's
+    ``pyg_lib.partition.metis`` for locality-optimised node orderings
+    (reference ``csrc/partition/cpu/metis_kernel.cpp:14-53`` exposes
+    METIS for exactly such preprocessing).
+
+    Stable within partitions (relative order of same-partition nodes is
+    preserved). Returns ``(new_rowptr, new_col, node_perm, edge_perm)``
+    where ``node_perm[new_id] = old_id`` — so ``new_x = x[node_perm]``
+    — and ``edge_perm`` maps new edge slots to old edge ids (for
+    carrying edge weights/attributes along). Outputs in the new id
+    space map back via ``out_old = out_new[rank]`` with
+    ``rank = np.argsort(node_perm)``.
+    """
+    rowptr = np.ascontiguousarray(rowptr, np.int64)
+    col = np.ascontiguousarray(col, np.int64)
+    part = np.ascontiguousarray(part, np.int64)
+    n = rowptr.shape[0] - 1
+    if part.shape[0] != n:
+        raise ValueError(f'part has {part.shape[0]} entries for {n} nodes')
+    node_perm = np.argsort(part, kind='stable')  # new -> old
+    rank = np.empty(n, np.int64)
+    rank[node_perm] = np.arange(n, dtype=np.int64)
+    deg = np.diff(rowptr)
+    new_deg = deg[node_perm]
+    new_rowptr = np.zeros(n + 1, np.int64)
+    np.cumsum(new_deg, out=new_rowptr[1:])
+    e = int(new_rowptr[-1])
+    # Old edge id of each new edge slot: each new row i copies the old
+    # row node_perm[i]'s slice in order.
+    base = np.repeat(rowptr[node_perm], new_deg)
+    within = np.arange(e, dtype=np.int64) - np.repeat(new_rowptr[:-1],
+                                                      new_deg)
+    edge_perm = base + within
+    new_col = rank[col[edge_perm]]
+    return new_rowptr, new_col, node_perm, edge_perm
 
 
 def edge_cut(rowptr, col, part, edge_weight=None) -> float:
