@@ -17,6 +17,9 @@ MODULES = [
     'pyg_lib_tpu.models',
     'pyg_lib_tpu.loader',
     'pyg_lib_tpu.checkpoint',
+    'pyg_lib_tpu.datasets',
+    'pyg_lib_tpu.metrics',
+    'pyg_lib_tpu.profiling',
 ]
 
 
