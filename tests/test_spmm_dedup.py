@@ -1,0 +1,210 @@
+"""Dedup-gather SpMM plan (``pallas.spmm_dedup``) vs numpy reference.
+
+Golden-reference style (SURVEY.md §4): every configuration is checked
+against an inline numpy scatter-add, on graph families where dedup
+matters (power-law hubs, clustered) and where it does not (uniform).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyg_lib_tpu import ops
+from pyg_lib_tpu.ops.pallas.spmm_dedup import (build_dedup_plan,
+                                               dedup_plan_apply,
+                                               estimate_dedup)
+
+
+def _csr_from_edges(row, col, n):
+    order = np.argsort(row, kind='stable')
+    row, col = row[order], col[order]
+    rowptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(row, minlength=n), out=rowptr[1:])
+    return rowptr, col.astype(np.int64)
+
+
+def _uniform_graph(rng, n, e):
+    return _csr_from_edges(rng.integers(0, n, e), rng.integers(0, n, e), n)
+
+
+def _powerlaw_graph(rng, n, e, alpha=1.2):
+    # hub-heavy in-degree: cols drawn from a Zipf-ish distribution
+    p = (1.0 / np.arange(1, n + 1)**alpha)
+    p /= p.sum()
+    col = rng.choice(n, size=e, p=p)
+    return _csr_from_edges(rng.integers(0, n, e), col, n)
+
+
+def _ref(x, rowptr, col, w=None):
+    n = len(rowptr) - 1
+    rows = np.repeat(np.arange(n), np.diff(rowptr))
+    msgs = x[col].astype(np.float64)
+    if w is not None:
+        msgs = msgs * w[:, None]
+    out = np.zeros((n, x.shape[1]), np.float64)
+    np.add.at(out, rows, msgs)
+    return out.astype(np.float32)
+
+
+@pytest.mark.parametrize('family', ['uniform', 'powerlaw'])
+@pytest.mark.parametrize('n,e,f', [(300, 4000, 128), (520, 9013, 128)])
+def test_dedup_plan_matches_reference(family, n, e, f):
+    rng = np.random.default_rng(3)
+    make = _uniform_graph if family == 'uniform' else _powerlaw_graph
+    rowptr, col = make(rng, n, e)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    plan = build_dedup_plan(rowptr, col, ec=256)
+    out = dedup_plan_apply(jnp.asarray(x), plan)
+    np.testing.assert_allclose(np.asarray(out), _ref(x, rowptr, col),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_dedup_interpret_kernel_matches_xla():
+    # The Pallas kernel itself (interpret mode) against the XLA fallback.
+    rng = np.random.default_rng(5)
+    rowptr, col = _powerlaw_graph(rng, 260, 3000, alpha=1.4)
+    x = rng.normal(size=(260, 128)).astype(np.float32)
+    plan = build_dedup_plan(rowptr, col, ec=128, uc=64)
+    ker = dedup_plan_apply(jnp.asarray(x), plan, interpret=True)
+    xla = dedup_plan_apply(jnp.asarray(x), plan)
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(xla), atol=2e-3,
+                               rtol=2e-3)
+
+
+def test_dedup_weighted_and_interpret():
+    rng = np.random.default_rng(11)
+    rowptr, col = _powerlaw_graph(rng, 200, 2500)
+    w = rng.normal(size=2500).astype(np.float32)
+    x = rng.normal(size=(200, 128)).astype(np.float32)
+    plan = build_dedup_plan(rowptr, col, ec=128, uc=64, edge_weight=w)
+    ref = _ref(x, rowptr, col, w)
+    out = dedup_plan_apply(jnp.asarray(x), plan)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-3, rtol=3e-3)
+    ker = dedup_plan_apply(jnp.asarray(x), plan, interpret=True)
+    np.testing.assert_allclose(np.asarray(ker), ref, atol=3e-3, rtol=3e-3)
+
+
+@pytest.mark.parametrize('precision', ['bf16', 'int8'])
+def test_dedup_precision_modes(precision):
+    rng = np.random.default_rng(7)
+    rowptr, col = _powerlaw_graph(rng, 300, 4000)
+    x = rng.normal(size=(300, 128)).astype(np.float32)
+    plan = build_dedup_plan(rowptr, col, ec=256)
+    out = dedup_plan_apply(jnp.asarray(x), plan, precision=precision)
+    ref = _ref(x, rowptr, col)
+    tol = 0.15 if precision == 'bf16' else 0.6
+    err = np.abs(np.asarray(out) - ref)
+    scale = np.maximum(np.abs(ref), 1.0)
+    assert np.quantile(err / scale, 0.999) < tol
+
+
+def test_build_spmm_graph_dedup_end_to_end_grad():
+    rng = np.random.default_rng(9)
+    rowptr, col = _powerlaw_graph(rng, 250, 3000)
+    x = rng.normal(size=(250, 64)).astype(np.float32)
+    g = rng.normal(size=(250, 64)).astype(np.float32)
+    graph = ops.build_spmm_graph(rowptr, col, dedup='on')
+    out = ops.spmm(jnp.asarray(x), graph)
+    np.testing.assert_allclose(np.asarray(out), _ref(x, rowptr, col),
+                               atol=2e-3, rtol=2e-3)
+    grad = jax.grad(lambda xx: jnp.vdot(ops.spmm(xx, graph),
+                                        jnp.asarray(g)))(jnp.asarray(x))
+    # d/dx = A^T g: scatter g rows onto cols
+    n = 250
+    rows = np.repeat(np.arange(n), np.diff(rowptr))
+    ref_grad = np.zeros_like(x)
+    np.add.at(ref_grad, col, g[rows])
+    np.testing.assert_allclose(np.asarray(grad), ref_grad, atol=2e-3,
+                               rtol=2e-3)
+
+
+def test_build_spmm_graph_dedup_weighted_grad():
+    rng = np.random.default_rng(13)
+    rowptr, col = _powerlaw_graph(rng, 220, 2600)
+    w = rng.normal(size=2600).astype(np.float32)
+    x = rng.normal(size=(220, 64)).astype(np.float32)
+    g = rng.normal(size=(220, 64)).astype(np.float32)
+    graph = ops.build_spmm_graph(rowptr, col, dedup='on', edge_weight=w)
+    out = ops.spmm(jnp.asarray(x), graph)
+    np.testing.assert_allclose(np.asarray(out), _ref(x, rowptr, col, w),
+                               atol=3e-3, rtol=3e-3)
+    grad = jax.grad(lambda xx: jnp.vdot(ops.spmm(xx, graph),
+                                        jnp.asarray(g)))(jnp.asarray(x))
+    n = 220
+    rows = np.repeat(np.arange(n), np.diff(rowptr))
+    ref_grad = np.zeros_like(x)
+    np.add.at(ref_grad, col, g[rows] * w[:, None])
+    np.testing.assert_allclose(np.asarray(grad), ref_grad, atol=3e-3,
+                               rtol=3e-3)
+
+
+def test_dedup_auto_picks_by_gain():
+    rng = np.random.default_rng(21)
+    # Dense uniform graph (mean degree 16, the headline shape): tile-scope
+    # reuse ~1 and negligible chunk padding -> auto stays single-plan.
+    rowptr_u, col_u = _uniform_graph(rng, 4000, 64000)
+    _, gain_u = estimate_dedup(rowptr_u, col_u)
+    # Hub graph: most edges point at a handful of columns -> big gain.
+    rowptr_h, col_h = _powerlaw_graph(rng, 4000, 16000, alpha=2.0)
+    _, gain_h = estimate_dedup(rowptr_h, col_h)
+    assert gain_h > gain_u
+    assert gain_h > 1.3
+    from pyg_lib_tpu.ops.pallas.spmm_chunked import SpmmPlan
+    from pyg_lib_tpu.ops.pallas.spmm_dedup import DedupSpmmPlan
+    gu = ops.build_spmm_graph(rowptr_u, col_u, dedup='auto')
+    gh = ops.build_spmm_graph(rowptr_h, col_h, dedup='auto')
+    assert isinstance(gu.fwd, SpmmPlan)
+    assert isinstance(gh.fwd, DedupSpmmPlan)
+    # Both must still be numerically right.
+    x = rng.normal(size=(4000, 32)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(ops.spmm(jnp.asarray(x), gh)),
+                               _ref(x, rowptr_h, col_h), atol=2e-3,
+                               rtol=2e-3)
+
+
+def test_dedup_edge_cases():
+    rng = np.random.default_rng(17)
+    # empty graph
+    rowptr = np.zeros(65, np.int64)
+    col = np.zeros(0, np.int64)
+    plan = build_dedup_plan(rowptr, col, ec=128)
+    x = rng.normal(size=(64, 128)).astype(np.float32)
+    out = dedup_plan_apply(jnp.asarray(x), plan)
+    assert out.shape == (64, 128)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+    # single hub column: every edge dedups to one gather per chunk
+    n, e = 200, 2000
+    row = rng.integers(0, n, e)
+    colh = np.zeros(e, np.int64)
+    rowptr, colh = _csr_from_edges(row, colh, n)
+    plan = build_dedup_plan(rowptr, colh, ec=128, uc=8)
+    assert plan.uniq_cols.shape[0] <= plan.num_chunks * 8
+    x = rng.normal(size=(n, 128)).astype(np.float32)
+    out = dedup_plan_apply(jnp.asarray(x), plan)
+    np.testing.assert_allclose(np.asarray(out), _ref(x, rowptr, colh),
+                               atol=2e-3, rtol=2e-3)
+    # rows not multiple of TR, trailing empty rows
+    rowptr2, col2 = _powerlaw_graph(rng, 131, 900)
+    rowptr2[100:] = rowptr2[100]  # rows 100.. empty
+    col2 = col2[:rowptr2[-1]]
+    plan2 = build_dedup_plan(rowptr2, col2, ec=128)
+    x2 = rng.normal(size=(131, 64)).astype(np.float32)
+    out2 = dedup_plan_apply(jnp.asarray(x2), plan2)
+    np.testing.assert_allclose(np.asarray(out2), _ref(x2, rowptr2, col2),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_dedup_validation_errors():
+    rowptr = np.array([0, 1, 2], np.int64)
+    col = np.array([1, 0], np.int64)
+    with pytest.raises(ValueError, match='dedup'):
+        ops.build_spmm_graph(rowptr, col, dedup='on', with_edge_maps=True)
+    with pytest.raises(ValueError, match='dedup'):
+        ops.build_spmm_graph(rowptr, col, dedup='bogus')
+    with pytest.raises(ValueError, match='edge_weight'):
+        ops.build_spmm_graph(rowptr, col,
+                             edge_weight=np.ones(2, np.float32))
+    g = ops.build_spmm_graph(rowptr, col, dedup='on')
+    with pytest.raises(ValueError, match='single-plan'):
+        ops.spmm(jnp.ones((2, 8)), g, reduce='max')
