@@ -27,6 +27,7 @@ import secrets
 import shutil
 import tempfile
 import uuid
+from multiprocessing import AuthenticationError
 from multiprocessing.connection import Client, Listener
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -51,30 +52,42 @@ def _worker_main(address, ready, payload, authkey):
     with Listener(address, authkey=authkey) as listener:
         ready.send('ready')
         ready.close()
-        with listener.accept() as conn:
-            while True:
-                msg = conn.recv()
-                op = msg[0]
-                if op == 'stop':
-                    conn.send(('ok', ))
-                    return
-                try:
-                    if op == 'sample':
-                        _, seeds, fanout, rng, replace, impl = msg
-                        res = dist_neighbor_sample(rowptr, col, seeds,
-                                                   fanout, replace=replace,
-                                                   rng=rng, impl=impl)
-                    elif op == 'hetero_sample':
-                        _, k, seeds, fanout, rng, replace, impl = msg
-                        rp, cl = hetero[k]
-                        res = dist_neighbor_sample(rp, cl, seeds, fanout,
-                                                   replace=replace, rng=rng,
-                                                   impl=impl)
-                    else:
-                        raise ValueError(f'unknown op {op!r}')
-                    conn.send(('ok', res))
-                except Exception as e:  # report, keep serving
-                    conn.send(('error', f'{type(e).__name__}: {e}'))
+        while True:  # serve sequential coordinator connections
+            try:
+                conn = listener.accept()
+            except (AuthenticationError, OSError, EOFError):
+                # Failed handshakes (port scans, wrong key) and aborted
+                # connects must not kill the server.
+                continue
+            with conn:
+                while True:
+                    try:
+                        msg = conn.recv()
+                    except (EOFError, OSError):
+                        break  # coordinator went away; await the next one
+                    op = msg[0]
+                    if op == 'stop':
+                        conn.send(('ok', ))
+                        return
+                    try:
+                        if op == 'sample':
+                            _, seeds, fanout, rng, replace, impl = msg
+                            res = dist_neighbor_sample(rowptr, col, seeds,
+                                                       fanout,
+                                                       replace=replace,
+                                                       rng=rng, impl=impl)
+                        elif op == 'hetero_sample':
+                            _, k, seeds, fanout, rng, replace, impl = msg
+                            rp, cl = hetero[k]
+                            res = dist_neighbor_sample(rp, cl, seeds,
+                                                       fanout,
+                                                       replace=replace,
+                                                       rng=rng, impl=impl)
+                        else:
+                            raise ValueError(f'unknown op {op!r}')
+                        conn.send(('ok', res))
+                    except Exception as e:  # report, keep serving
+                        conn.send(('error', f'{type(e).__name__}: {e}'))
 
 
 def serve_partition(address, payload, authkey: bytes = None):
@@ -192,6 +205,18 @@ class SamplingService:
         if errors:
             raise RuntimeError('; '.join(errors))
         return out
+
+    def disconnect(self):
+        """Drop the connections WITHOUT stopping the servers (coordinator
+        restart / handover: servers loop back to accept the next
+        coordinator). Only meaningful for ``connect``-ed services —
+        spawned local servers would leak, so they are stopped."""
+        if self._procs:
+            self.close()
+            return
+        for c in self._conns:
+            c.close()
+        self._conns = []
 
     def close(self):
         for c in self._conns:
