@@ -8,6 +8,16 @@ pytree, ``*_forward`` is a pure jittable function over a
 :class:`pyg_lib_tpu.sampler.padding.PaddedBatch`-shaped input.
 """
 
+from pyg_lib_tpu.models.extra import (
+    edgeconv_forward,
+    gin_forward,
+    init_edgeconv,
+    init_gin,
+    init_node2vec,
+    init_pointnet_sa,
+    node2vec_loss,
+    pointnet_sa_forward,
+)
 from pyg_lib_tpu.models.gnn import (
     gat_forward,
     gcn_forward,
@@ -42,4 +52,12 @@ __all__ = [
     'init_rgcn_spmm',
     'rgcn_forward_spmm',
     'build_rgcn_graphs',
+    'init_gin',
+    'gin_forward',
+    'init_edgeconv',
+    'edgeconv_forward',
+    'init_pointnet_sa',
+    'pointnet_sa_forward',
+    'init_node2vec',
+    'node2vec_loss',
 ]

@@ -131,18 +131,31 @@ def _build_padded_layout(rowptr: np.ndarray, chunk: int,
     return orig, valid, chunk_tile, tile_ptr, shift
 
 
-def quantize_columns(x):
+def quantize_columns(x, key=None):
     """Symmetric per-feature-column int8 quantisation.
 
     Returns ``(xq int8, scale f32[F])`` with
     ``x ≈ xq * scale[None, :]`` and ``scale[f] = maxabs(x[:, f]) / 127``
     (1.0 for all-zero columns). Column scales commute with segment sums,
     so reductions of ``xq`` dequantise with one multiply on the output.
+
+    ``key`` (a ``jax.random`` key) switches round-to-nearest to
+    STOCHASTIC rounding: ``floor(y + U[0,1))``, which is unbiased
+    (``E[xq] = y``) — the right mode for quantising training *gradients*,
+    where round-to-nearest's systematic bias accumulates across steps.
+    Callers pre-quantise with a per-step key and feed the int8 result to
+    the ``precision='int8'`` paths (which pass through caller-quantised
+    input untouched).
     """
     xf = x.astype(jnp.float32)
     scale = jnp.max(jnp.abs(xf), axis=0) / 127.0
     scale = jnp.where(scale > 0, scale, 1.0)
-    xq = jnp.clip(jnp.round(xf / scale[None, :]), -127, 127).astype(jnp.int8)
+    y = xf / scale[None, :]
+    if key is None:
+        r = jnp.round(y)
+    else:
+        r = jnp.floor(y + jax.random.uniform(key, y.shape, jnp.float32))
+    xq = jnp.clip(r, -127, 127).astype(jnp.int8)
     return xq, scale
 
 

@@ -682,3 +682,52 @@ def test_sharded_auto_chunk():
         out = np.asarray(ops.spmm_sharded(jnp.asarray(x), graph))
         np.testing.assert_allclose(out, _spmm_ref(x, rowptr, col),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_weighted_fused_graph_bounds_t_grad():
+    """bounds_t range-partitions the TRANSPOSE gathers; gradients must be
+    identical to the unpartitioned transpose plan."""
+    rng = np.random.default_rng(29)
+    rowptr, col = _random_csr(rng, 200, 2500)
+    w = rng.uniform(0.1, 2.0, size=2500).astype(np.float32)
+    bounds = [(0, 64), (64, 150), (150, 200)]
+    bounds_t = [(0, 100), (100, 200)]
+    g_plain = ops.build_weighted_fused_graph(rowptr, col, 200, bounds, w,
+                                             chunk=128)
+    g_split = ops.build_weighted_fused_graph(rowptr, col, 200, bounds, w,
+                                             chunk=128, bounds_t=bounds_t)
+    x = jnp.asarray(rng.normal(size=(200, 32)).astype(np.float32))
+    gv = jnp.asarray(rng.normal(size=(200, 32)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(ops.spmm(x, g_split)),
+                               np.asarray(ops.spmm(x, g_plain)),
+                               atol=1e-4, rtol=1e-4)
+    grad_p = jax.grad(lambda v: jnp.vdot(ops.spmm(v, g_plain), gv))(x)
+    grad_s = jax.grad(lambda v: jnp.vdot(ops.spmm(v, g_split), gv))(x)
+    np.testing.assert_allclose(np.asarray(grad_s), np.asarray(grad_p),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_quantize_columns_stochastic_rounding_unbiased():
+    """With a key, quantisation is stochastic: floor(y + U) — unbiased
+    (E[xq * scale] == x), unlike round-to-nearest's systematic bias."""
+    from pyg_lib_tpu.ops.pallas.spmm_chunked import quantize_columns
+
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    # deterministic mode unchanged
+    xq0, s0 = quantize_columns(x)
+    np.testing.assert_allclose(np.asarray(xq0) * np.asarray(s0)[None, :],
+                               np.asarray(x), atol=np.asarray(s0).max())
+    # stochastic mode: mean over many keys converges to x
+    acc = np.zeros(x.shape, np.float64)
+    n_keys = 400
+    for i in range(n_keys):
+        xq, s = quantize_columns(x, key=jax.random.key(i))
+        acc += np.asarray(xq, np.float64) * np.asarray(s)[None, :]
+    mean = acc / n_keys
+    resid = np.abs(mean - np.asarray(x))
+    # SR noise is +-scale/2 per draw; the mean must shrink ~1/sqrt(n)
+    tol = 4.0 * np.asarray(s0)[None, :] / np.sqrt(n_keys)
+    assert (resid < np.maximum(tol, 1e-4)).mean() > 0.99
+    # int8 range respected even at the clip boundary
+    assert int(jnp.max(jnp.abs(xq.astype(jnp.int32)))) <= 127
