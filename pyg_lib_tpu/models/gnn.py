@@ -318,13 +318,16 @@ def sage_maxpool_forward_spmm(params: Dict, x: Array, graph) -> Array:
     return x
 
 
-def build_rgcn_graphs(rowptr_dict, col_dict, num_nodes_dict, chunk=512):
+def build_rgcn_graphs(rowptr_dict, col_dict, num_nodes_dict, chunk=512,
+                      dedup='auto'):
     """Per-relation :class:`pyg_lib_tpu.ops.SpmmGraph` plans for
     :func:`rgcn_forward_spmm` (host-side, one-time).
 
     ``rowptr_dict[(src, rel, dst)]`` is the dst-major CSR of that
     relation (rowptr over dst nodes of the dst type, col = src ids of
-    the src type).
+    the src type). ``dedup='auto'`` (default) lets each relation pick
+    the dedup-gather schedule when its in-degree skew pays for it
+    (real hetero graphs are hub-heavy; see ``pallas/spmm_dedup``).
     """
     from pyg_lib_tpu.ops import build_spmm_graph
 
@@ -332,7 +335,8 @@ def build_rgcn_graphs(rowptr_dict, col_dict, num_nodes_dict, chunk=512):
     for k, rowptr in rowptr_dict.items():
         src_t = k[0]
         graphs[k] = build_spmm_graph(rowptr, col_dict[k], chunk=chunk,
-                                     num_cols=num_nodes_dict[src_t])
+                                     num_cols=num_nodes_dict[src_t],
+                                     dedup=dedup)
     return graphs
 
 
