@@ -39,6 +39,10 @@ def main():
         ('author', 'affiliated', 'institution'): 250_000,
         ('paper', 'has_topic', 'field'): 1_870_000,
     }
+    # PYGT_HETERO_SKEW=1: Zipf(1.2) source popularity per relation — the
+    # real ogbn-mag shape (popular papers/fields dominate citations and
+    # topics), where the per-relation dedup-auto plans engage.
+    skew = os.environ.get('PYGT_HETERO_SKEW', '0') == '1'
     rowptr_d, col_d = {}, {}
     for (s, r, d), e in rel_shapes.items():
         rows = np.sort(rng.integers(0, num_nodes[d], size=e))
@@ -46,7 +50,12 @@ def main():
         np.cumsum(np.bincount(rows, minlength=num_nodes[d]),
                   out=rowptr[1:])
         rowptr_d[(s, r, d)] = rowptr
-        col_d[(s, r, d)] = rng.integers(0, num_nodes[s], size=e)
+        if skew:
+            p = 1.0 / np.arange(1, num_nodes[s] + 1)**1.2
+            p /= p.sum()
+            col_d[(s, r, d)] = rng.choice(num_nodes[s], size=e, p=p)
+        else:
+            col_d[(s, r, d)] = rng.integers(0, num_nodes[s], size=e)
 
     f_in, f_hid, f_out = 128, 128, 128
     params = gnn.init_rgcn_spmm(jax.random.PRNGKey(0),
@@ -59,6 +68,14 @@ def main():
     t0 = time.perf_counter()
     graphs = gnn.build_rgcn_graphs(rowptr_d, col_d, num_nodes)
     t_plans = time.perf_counter() - t0
+    from pyg_lib_tpu.ops.pallas.spmm_dedup import DedupSpmmPlan
+    n_dedup = sum(
+        isinstance(g.fwd, DedupSpmmPlan) for g in graphs.values())
+    print(f'# skew={skew}: {n_dedup}/{len(graphs)} relations on dedup '
+          'plans', flush=True)
+    graphs_nodedup = (gnn.build_rgcn_graphs(rowptr_d, col_d, num_nodes,
+                                            dedup='off')
+                      if n_dedup else None)
     t0 = time.perf_counter()
     hplan = gnn.build_rgcn_planned(rowptr_d, col_d, num_nodes)
     t_hplan = time.perf_counter() - t0
@@ -71,11 +88,13 @@ def main():
 
     iters = 8
     results = {}
-    for name, fn, arg in [('per_relation', gnn.rgcn_forward_spmm, graphs),
-                          ('fused_planned', gnn.rgcn_forward_planned,
-                           hplan),
-                          ('fused_sliced', gnn.rgcn_forward_planned,
-                           hsliced)]:
+    variants = [('per_relation', gnn.rgcn_forward_spmm, graphs),
+                ('fused_planned', gnn.rgcn_forward_planned, hplan),
+                ('fused_sliced', gnn.rgcn_forward_planned, hsliced)]
+    if graphs_nodedup is not None:
+        variants.insert(1, ('per_relation_nodedup', gnn.rgcn_forward_spmm,
+                            graphs_nodedup))
+    for name, fn, arg in variants:
         try:
             @jax.jit
             def loop(x_dict, fn=fn, arg=arg):

@@ -37,18 +37,26 @@ def main():
     n, e, f = 2_000_000, 31_000_000, 128
     splits = int(os.environ.get('PYGT_HUGE_SPLITS', 8))
     rs = int(os.environ.get('PYGT_HUGE_RANGE_SPLIT', 1))
+    family = os.environ.get('PYGT_HUGE_GRAPH', 'uniform')
+    dedup = os.environ.get('PYGT_HUGE_DEDUP', 'off')
     rng = np.random.default_rng(0)
     deg = rng.integers(0, 2 * e // n, size=n)
     deg = (deg * (e / max(deg.sum(), 1))).astype(np.int64)
     rowptr = np.zeros(n + 1, np.int64)
     rowptr[1:] = np.cumsum(deg)
     e_actual = int(rowptr[-1])
-    col = rng.integers(0, n, size=e_actual).astype(np.int64)
+    if family == 'powerlaw':
+        # papers100M-class in-degree skew (Zipf 1.2 hubs)
+        p = 1.0 / np.arange(1, n + 1)**1.2
+        p /= p.sum()
+        col = rng.choice(n, size=e_actual, p=p).astype(np.int64)
+    else:
+        col = rng.integers(0, n, size=e_actual).astype(np.int64)
 
     t0 = time.time()
     graph = ops.build_spmm_graph_sharded(
         rowptr, col, splits, chunk=512 if rs == 1 else 'auto',
-        range_split=rs)
+        range_split=rs, dedup=dedup)
     build_s = time.time() - t0
 
     x = jax.jit(
@@ -69,7 +77,8 @@ def main():
     float(val), float(g[0, 0])
     step_s = time.perf_counter() - t0
     print(json.dumps({
-        'config': f'31M sharded={splits} rs={rs} bf16',
+        'config': f'31M sharded={splits} rs={rs} bf16 '
+                  f'{family} dedup={dedup}',
         'step_s': round(step_s, 3),
         'first_step_s': round(first_s, 1),
         'plan_build_s': round(build_s, 1),

@@ -55,7 +55,7 @@ from pyg_lib_tpu.ops.pallas.spmm_chunked import (TR, quantize_columns,
 
 __all__ = [
     'DedupSpmmPlan', 'build_dedup_plan', 'dedup_plan_apply',
-    'estimate_dedup',
+    'estimate_dedup', 'pad_plan',
 ]
 
 META_SUB = 8  # sublane count of the edge-metadata block (3 used)
@@ -185,14 +185,17 @@ def estimate_dedup(rowptr, col, ec: int = 512,
 
 
 def build_dedup_plan(rowptr, col, ec: int = 512, uc='auto',
-                     edge_weight=None) -> DedupSpmmPlan:
+                     edge_weight=None,
+                     pad_to_chunks: int = None) -> DedupSpmmPlan:
     """Build the dedup-gather schedule (one-time host preprocessing).
 
     ``ec`` bounds edges per grid step, ``uc`` bounds gathered unique
     columns per step (``'auto'`` picks from the degree structure via
     :func:`estimate_dedup`). ``edge_weight`` (optional ``[E]`` f32) bakes
     per-edge weights into the expansion matrix: the kernel then computes
-    ``out[r] = Σ_e w_e · x[col_e]``.
+    ``out[r] = Σ_e w_e · x[col_e]``. ``pad_to_chunks`` appends all-pad
+    chunks (revisiting the last tile, contributing nothing) so several
+    plans share one compiled kernel shape (the sharded path's contract).
     """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
@@ -224,6 +227,14 @@ def build_dedup_plan(rowptr, col, ec: int = 512, uc='auto',
             ws.append(wp)
             tiles.append(t)
 
+    if pad_to_chunks is not None:
+        while len(tiles) < pad_to_chunks:
+            uniqs.append(np.zeros(uc, np.int32))
+            rows.append(np.full(ec, -1, np.int32))
+            lids.append(np.zeros(ec, np.int32))
+            ws.append(np.zeros(ec, np.float32))
+            tiles.append(tiles[-1] if tiles else 0)
+
     c = len(tiles)
     meta = np.zeros((c, META_SUB, ec), np.int32)
     meta[:, 0, :] = np.stack(rows)
@@ -240,6 +251,28 @@ def build_dedup_plan(rowptr, col, ec: int = 512, uc='auto',
         uc=int(uc),
         weighted=weighted,
     )
+
+
+def pad_plan(plan: DedupSpmmPlan, num_chunks: int) -> DedupSpmmPlan:
+    """Append all-pad chunks (revisiting the last tile, contributing
+    nothing) so ``plan`` matches another plan's compiled kernel shape."""
+    extra = num_chunks - plan.num_chunks
+    if extra <= 0:
+        return plan
+    uniq = np.concatenate([
+        np.asarray(jax.device_get(plan.uniq_cols)),
+        np.zeros(extra * plan.uc, np.int32)
+    ])
+    meta_pad = np.zeros((extra, META_SUB, plan.ec), np.int32)
+    meta_pad[:, 0, :] = -1
+    meta = np.concatenate(
+        [np.asarray(jax.device_get(plan.edge_meta)), meta_pad])
+    ct = np.asarray(jax.device_get(plan.chunk_tile))
+    last = ct[-1] if len(ct) else 0
+    ct = np.concatenate([ct, np.full(extra, last, np.int32)])
+    return plan._replace(uniq_cols=jnp.asarray(uniq),
+                         edge_meta=jnp.asarray(meta),
+                         chunk_tile=jnp.asarray(ct))
 
 
 def _dedup_kernel(chunk_tile, meta_ref, slab_ref, out_ref, *,

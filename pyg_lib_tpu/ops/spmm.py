@@ -636,7 +636,8 @@ class ShardedSpmmGraph(NamedTuple):
 def build_spmm_graph_sharded(rowptr, col, num_splits: int,
                              chunk: int = 512,
                              num_cols: int = None,
-                             range_split: int = 1) -> ShardedSpmmGraph:
+                             range_split: int = 1,
+                             dedup='off') -> ShardedSpmmGraph:
     """Host-side: build ``num_splits`` row-range SpMM plans (+transpose).
 
     ``range_split=S`` additionally column-range-partitions every split
@@ -645,12 +646,26 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
     graphs whose tables are far past the ~150 MB small-operand
     transaction knee. All ``num_splits x S`` sub-plans pad to one chunk
     count, so they still share ONE compiled kernel.
+
+    ``dedup`` in {'off', 'auto', 'on'} (incompatible with
+    ``range_split``) switches every split to the dedup-gather schedule
+    (``pallas.spmm_dedup``) — the papers100M-class win: real huge graphs
+    are power-law, where each 128-row tile re-fetches hub columns many
+    times. ``'auto'`` decides per side from the full graph's estimated
+    tile-scope reuse (>= 1.3x crossover); splits pad to one chunk count
+    so they share ONE compiled kernel.
     """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
     num_rows = rowptr.shape[0] - 1
     if num_cols is None:
         num_cols = num_rows
+    dedup = {'off': 'off', False: 'off', 'on': 'on', True: 'on',
+             'auto': 'auto'}.get(dedup)
+    if dedup is None:
+        raise ValueError("dedup must be 'off', 'auto' or 'on'")
+    if dedup != 'off' and range_split > 1:
+        raise ValueError('dedup is incompatible with range_split')
 
     def split_csrs(rp, cl, n_rows):
         # Uniform split shapes (equal row count, padded equal chunk
@@ -670,6 +685,23 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
 
     def split_plans(rp, cl, n_rows, n_cols):
         subs = split_csrs(rp, cl, n_rows)
+        if dedup != 'off':
+            from pyg_lib_tpu.ops.pallas.spmm_dedup import (
+                build_dedup_plan, estimate_dedup)
+            ec = 512 if chunk == 'auto' else int(chunk)
+            uc, gain = estimate_dedup(rp, cl, ec=ec)
+            if dedup == 'on' or gain >= 1.3:
+                from pyg_lib_tpu.ops.pallas.spmm_dedup import pad_plan
+
+                # One uc + one padded chunk count across splits: all
+                # splits share ONE compiled kernel (same contract as the
+                # plain sharded path).
+                plans = [
+                    build_dedup_plan(s_rp, s_cl, ec=ec, uc=uc)
+                    for s_rp, s_cl in subs
+                ]
+                cmax = max(p.num_chunks for p in plans)
+                return tuple(pad_plan(p, cmax) for p in plans)
         if range_split > 1:
             range_rps = [
                 rp_r for s_rp, s_cl in subs

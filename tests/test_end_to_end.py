@@ -244,3 +244,17 @@ def test_spmm_bf16_inputs():
               x[col].astype(np.float32))
     # bf16 inputs: ~2 decimal digits relative
     np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.3)
+
+
+def test_node2vec_example_learns_communities():
+    from examples.train_node2vec import main
+    agree = main(num_nodes=300, steps=120, dim=16, batch=128,
+                 walk_length=8, verbose=False)
+    # SBM has 4 communities; random 1-NN agreement would be ~0.25
+    assert agree > 0.5
+
+
+def test_pointcloud_example_learns_shapes():
+    from examples.train_pointcloud import main
+    acc = main(steps=120, k=10, n_pts=96, verbose=False)
+    assert acc > 0.5  # 3 classes, random = 0.33

@@ -208,3 +208,49 @@ def test_dedup_validation_errors():
     g = ops.build_spmm_graph(rowptr, col, dedup='on')
     with pytest.raises(ValueError, match='single-plan'):
         ops.spmm(jnp.ones((2, 8)), g, reduce='max')
+
+
+def test_sharded_dedup_matches_reference_and_shares_shapes():
+    rng = np.random.default_rng(23)
+    n, e, f = 700, 9000, 64
+    rowptr, col = _powerlaw_graph(rng, n, e, alpha=1.4)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    g = ops.build_spmm_graph_sharded(rowptr, col, num_splits=3,
+                                     dedup='on')
+    from pyg_lib_tpu.ops.pallas.spmm_dedup import DedupSpmmPlan
+    assert all(isinstance(p, DedupSpmmPlan) for p in g.fwd)
+    # one compiled kernel: identical (chunks, ec, uc) across splits
+    shapes = {(p.num_chunks, p.ec, p.uc) for p in g.fwd}
+    assert len(shapes) == 1
+    out = ops.spmm_sharded(jnp.asarray(x), g)
+    np.testing.assert_allclose(np.asarray(out), _ref(x, rowptr, col),
+                               atol=2e-3, rtol=2e-3)
+    gv = rng.normal(size=(n, f)).astype(np.float32)
+    grad = jax.grad(lambda xx: jnp.vdot(
+        ops.spmm_sharded(xx, g), jnp.asarray(gv)))(jnp.asarray(x))
+    rows = np.repeat(np.arange(n), np.diff(rowptr))
+    ref_grad = np.zeros_like(x)
+    np.add.at(ref_grad, col, gv[rows])
+    np.testing.assert_allclose(np.asarray(grad), ref_grad, atol=2e-3,
+                               rtol=2e-3)
+    with pytest.raises(ValueError, match='range_split'):
+        ops.build_spmm_graph_sharded(rowptr, col, 2, dedup='on',
+                                     range_split=2)
+
+
+def test_pad_plan_is_noop_numerically():
+    from pyg_lib_tpu.ops.pallas.spmm_dedup import pad_plan
+
+    rng = np.random.default_rng(27)
+    rowptr, col = _powerlaw_graph(rng, 300, 3000)
+    x = rng.normal(size=(300, 32)).astype(np.float32)
+    plan = build_dedup_plan(rowptr, col, ec=128, uc=64)
+    padded = pad_plan(plan, plan.num_chunks + 7)
+    assert padded.num_chunks == plan.num_chunks + 7
+    a = dedup_plan_apply(jnp.asarray(x), plan)
+    b = dedup_plan_apply(jnp.asarray(x), padded)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # interpret kernel too (pad chunks revisit the last tile, adding 0)
+    bi = dedup_plan_apply(jnp.asarray(x), padded, interpret=True)
+    np.testing.assert_allclose(np.asarray(bi), np.asarray(a), atol=2e-3,
+                               rtol=2e-3)
