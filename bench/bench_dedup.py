@@ -49,12 +49,14 @@ def main():
         np.cumsum(np.bincount(row, minlength=n), out=rowptr[1:])
         return rowptr, col[order].astype(np.int64)
 
-    def timed(fn, x):
-        loop = jax.jit(lambda x: jax.lax.fori_loop(
-            0, iters, lambda _, xx: fn(xx) * 1e-6 + xx, x).sum())
-        float(loop(x))
+    def timed(fn, x, plan):
+        # the plan is a jit ARGUMENT (registered pytree): its arrays
+        # lower to parameters, not inline module constants
+        loop = jax.jit(lambda x, p: jax.lax.fori_loop(
+            0, iters, lambda _, xx: fn(xx, p) * 1e-6 + xx, x).sum())
+        float(loop(x, plan))
         t = time.time()
-        float(loop(x))
+        float(loop(x, plan))
         return max(time.time() - t - 0.030, 1e-6) / iters
 
     def emit(**kw):
@@ -79,23 +81,39 @@ def main():
     for name, (rowptr, col) in graphs.items():
         uc, gain = estimate_dedup(rowptr, col)
         g1 = ops.build_spmm_graph(rowptr, col)
-        dt = timed(lambda xx: ops.spmm(xx, g1, precision='bf16'), x)
+        dt = timed(lambda xx, g: ops.spmm(xx, g, precision='bf16'), x, g1)
         emit(graph=name, plan='single', precision='bf16',
              ms=round(dt * 1e3, 2), gbps=round(bytes_eff / dt / 1e9, 1),
              est_uc=uc, est_gain=round(gain, 2))
         if gain < 1.3:
             continue
-        pd = build_dedup_plan(rowptr, col, uc=uc)
+        pd = build_dedup_plan(rowptr, col, uc=uc, hot='off')
         slot_ratio = e / pd.uniq_cols.shape[0]
         base = dt
         for prec in [None, 'bf16', 'int8']:
             dt = timed(
-                lambda xx: dedup_plan_apply(xx, pd, precision=prec), x)
+                lambda xx, p: dedup_plan_apply(xx, p, precision=prec), x,
+                pd)
             emit(graph=name, plan='dedup', precision=prec or 'f32',
                  ms=round(dt * 1e3, 2),
                  gbps=round(bytes_eff / dt / 1e9, 1),
                  slot_ratio=round(slot_ratio, 2),
                  speedup_vs_single_bf16=round(base / dt, 2))
+        # Two-level plan: hot hub columns leave the chunks for the
+        # VMEM-resident slab + dense count-matrix contraction.
+        pdh = build_dedup_plan(rowptr, col)
+        if pdh.num_hot:
+            slot_ratio_h = e / (pdh.uniq_cols.shape[0] + pdh.num_hot)
+            for prec in [None, 'bf16', 'int8']:
+                dt = timed(
+                    lambda xx, p: dedup_plan_apply(xx, p, precision=prec),
+                    x, pdh)
+                emit(graph=name, plan='dedup+hot', precision=prec or 'f32',
+                     ms=round(dt * 1e3, 2),
+                     gbps=round(bytes_eff / dt / 1e9, 1),
+                     num_hot=pdh.num_hot, uc=pdh.uc,
+                     slot_ratio=round(slot_ratio_h, 2),
+                     speedup_vs_single_bf16=round(base / dt, 2))
 
 
 if __name__ == '__main__':

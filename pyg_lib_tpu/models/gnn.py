@@ -407,6 +407,12 @@ class HeteroSpmmPlan(NamedTuple):
     num_nodes: Dict  # node type -> count
 
 
+from pyg_lib_tpu.utils.pytree import register_plan_pytree  # noqa: E402
+
+register_plan_pytree(HeteroSpmmPlan,
+                     ('rel_order', 'src_ptr', 'num_nodes'))
+
+
 def build_rgcn_planned(rowptr_dict, col_dict, num_nodes_dict,
                        chunk: int = 512,
                        range_sliced: bool = False) -> HeteroSpmmPlan:

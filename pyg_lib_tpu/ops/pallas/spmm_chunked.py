@@ -82,6 +82,14 @@ class SpmmPlan(NamedTuple):
         return self.chunk_tile.shape[0]
 
 
+# Pytree with static config: plans pass through jit boundaries as
+# ARGUMENTS (parameters), not closure constants inlined into the module
+# (utils/pytree.py — the remote-compile 413/990s fix).
+from pyg_lib_tpu.utils.pytree import register_plan_pytree  # noqa: E402
+
+register_plan_pytree(SpmmPlan, ('num_rows', 'num_edges', 'chunk'))
+
+
 def _build_padded_layout(rowptr: np.ndarray, chunk: int,
                          allow_empty_tiles: bool = False):
     """Pad each TR-row tile's edge span to a multiple of ``chunk``.

@@ -34,6 +34,20 @@ When it wins: dedup ratio ρ = edges / padded-unique-slots > ~1.3
 ρ ≈ 1 at tile scope and should stay on the single-plan path —
 ``build_spmm_graph(dedup='auto')`` decides per side from the host layout.
 
+Two-level extension (``hot='auto'``): chunk-local unique lists reset per
+chunk, so a hub column spanning ``s`` tiles is still gathered ``s``
+times. Columns whose tile span crosses a cost-model threshold are
+promoted to a global HOT set: their rows are gathered ONCE into an
+``[H, F]`` slab that stays VMEM-resident across the whole grid, and
+their per-(row, column) edge counts (or weight sums) are baked into a
+dense ``[num_tiles·TR, H]`` host-built matrix streamed one ``[TR, H]``
+block per tile — the hot contribution is then a single MXU dot
+``counts @ hot_slab`` added when the kernel first visits a tile. Cold
+columns keep the per-chunk scheme (with hot edges removed, the cold
+packing also shrinks). On a Zipf(1.2) graph at headline scale ~78% of
+edges hit the top 512 columns, so the gather-transaction count drops
+another ~2x past the single-level plan.
+
 Reference anchor: this fuses the reference composition
 ``segment_csr(x[col], rowptr)`` (``pyg_lib/ops/__init__.py:816-835``,
 kernels ``pyg_lib/csrc/ops/cpu/segment_csr_kernel.cpp:31-155``); the
@@ -55,7 +69,7 @@ from pyg_lib_tpu.ops.pallas.spmm_chunked import (TR, quantize_columns,
 
 __all__ = [
     'DedupSpmmPlan', 'build_dedup_plan', 'dedup_plan_apply',
-    'estimate_dedup', 'pad_plan',
+    'estimate_dedup', 'pad_plan', 'pad_hot',
 ]
 
 META_SUB = 8  # sublane count of the edge-metadata block (3 used)
@@ -72,10 +86,26 @@ class DedupSpmmPlan(NamedTuple):
     ec: int  # edges per chunk (static)
     uc: int  # unique slots per chunk (static, multiple of 8)
     weighted: bool
+    # Two-level hot extension (None/None when disabled): hot column
+    # gather list + dense per-(padded row, hot column) count/weight-sum
+    # matrix. bf16 storage == entries exactly representable (integer
+    # counts <= 256); f32 == general weights (kernel hi/lo-splits).
+    hot_cols: Optional[jax.Array] = None  # [H] int32
+    hot_w: Optional[jax.Array] = None  # [num_tiles*TR, H] bf16|f32
 
     @property
     def num_chunks(self) -> int:
         return self.chunk_tile.shape[0]
+
+    @property
+    def num_hot(self) -> int:
+        return 0 if self.hot_cols is None else int(self.hot_cols.shape[0])
+
+
+from pyg_lib_tpu.utils.pytree import register_plan_pytree  # noqa: E402
+
+register_plan_pytree(DedupSpmmPlan,
+                     ('num_rows', 'num_edges', 'ec', 'uc', 'weighted'))
 
 
 def _tile_slices(rowptr: np.ndarray):
@@ -126,6 +156,44 @@ def _pack_tile(cols_sorted, rows_sorted, w_sorted, ec: int, uc: int):
         out.append((uniq, rows_p, lid_p, w_p))
         start = end
     return out
+
+
+def _select_hot(rowptr, col, num_tiles: int, hot, hot_thresh,
+                hot_max: int, hot_budget_bytes: int,
+                bytes_per_entry: int):
+    """Pick the global hot column set from per-column tile spans.
+
+    A hot column trades its per-tile gather slots (~12 ns transaction
+    each, DESIGN.md §8) for one dense count column streamed per SpMM
+    (``num_tiles·TR·bytes_per_entry`` bytes ≈ 0.64 µs at headline
+    scale): worth it once the tile span crosses ``~num_tiles/24``.
+    Returns a sorted int64 column array, or ``None`` (no hot level).
+    """
+    if hot == 'off' or num_tiles <= 1 or col.shape[0] == 0:
+        return None
+    explicit = not isinstance(hot, str)
+    if explicit:
+        hot_thresh = 1 if hot_thresh is None else hot_thresh
+    elif hot_thresh is None:
+        if num_tiles < 16:
+            return None  # dense count stream can't pay off on tiny grids
+        hot_thresh = max(num_tiles // 24, 4)
+    row = np.repeat(np.arange(rowptr.shape[0] - 1, dtype=np.int64),
+                    np.diff(rowptr).astype(np.int64))
+    key = col.astype(np.int64) * num_tiles + row // TR
+    uniq_key = np.unique(key)
+    span = np.bincount(uniq_key // num_tiles)
+    cand = np.nonzero(span >= hot_thresh)[0]
+    if cand.size == 0:
+        return None
+    cand = cand[np.argsort(span[cand], kind='stable')[::-1]]
+    cap = int(hot) if explicit else hot_max
+    cap = min(cap,
+              hot_budget_bytes // max(num_tiles * TR * bytes_per_entry, 1))
+    h = (min(cand.size, max(cap, 0)) // 8) * 8
+    if h < 8:
+        return None
+    return np.sort(cand[:h])
 
 
 def estimate_dedup(rowptr, col, ec: int = 512,
@@ -186,7 +254,11 @@ def estimate_dedup(rowptr, col, ec: int = 512,
 
 def build_dedup_plan(rowptr, col, ec: int = 512, uc='auto',
                      edge_weight=None,
-                     pad_to_chunks: int = None) -> DedupSpmmPlan:
+                     pad_to_chunks: int = None,
+                     hot='auto',
+                     hot_thresh: int = None,
+                     hot_max: int = 2048,
+                     hot_budget_bytes: int = 256 << 20) -> DedupSpmmPlan:
     """Build the dedup-gather schedule (one-time host preprocessing).
 
     ``ec`` bounds edges per grid step, ``uc`` bounds gathered unique
@@ -196,17 +268,54 @@ def build_dedup_plan(rowptr, col, ec: int = 512, uc='auto',
     ``out[r] = Σ_e w_e · x[col_e]``. ``pad_to_chunks`` appends all-pad
     chunks (revisiting the last tile, contributing nothing) so several
     plans share one compiled kernel shape (the sharded path's contract).
+
+    ``hot`` selects the two-level extension: ``'auto'`` promotes columns
+    whose tile span crosses the cost-model threshold (see
+    :func:`_select_hot`) to a global VMEM-resident slab with a dense
+    per-tile count matrix, ``'off'`` disables it, an int forces the
+    top-``hot`` spanning columns. ``hot_thresh`` overrides the span
+    threshold; ``hot_budget_bytes`` caps the count matrix's device
+    footprint (it is streamed once per SpMM, so it is also a bandwidth
+    budget); ``hot_max`` caps the hot column count.
     """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
     weighted = edge_weight is not None
     if weighted:
         edge_weight = np.asarray(edge_weight, dtype=np.float32)
+    num_rows = rowptr.shape[0] - 1
+    num_edges_total = int(col.shape[0])
+    num_tiles, tb = _tile_slices(rowptr)
+
+    hot_cols = _select_hot(rowptr, col, num_tiles, hot, hot_thresh,
+                           hot_max, hot_budget_bytes,
+                           4 if weighted else 1)
+    hot_w = None
+    if hot_cols is not None:
+        h = hot_cols.shape[0]
+        hid_of = np.full(int(max(col.max(), hot_cols.max())) + 1, -1,
+                         np.int64)
+        hid_of[hot_cols] = np.arange(h)
+        hid_e = hid_of[col]
+        is_hot = hid_e >= 0
+        row_e = np.repeat(np.arange(num_rows, dtype=np.int64),
+                          np.diff(rowptr).astype(np.int64))
+        hot_w = np.zeros((num_tiles * TR, h), np.float32)
+        np.add.at(hot_w, (row_e[is_hot], hid_e[is_hot]),
+                  edge_weight[is_hot] if weighted else 1.0)
+        # Cold remainder CSR (row order is preserved by the mask).
+        keep = ~is_hot
+        rowptr_c = np.zeros(num_rows + 1, np.int64)
+        np.cumsum(np.bincount(row_e[keep], minlength=num_rows),
+                  out=rowptr_c[1:])
+        rowptr, col = rowptr_c, col[keep]
+        if weighted:
+            edge_weight = edge_weight[keep]
+        del row_e, hid_e, is_hot, keep
+
     if uc == 'auto':
         uc, _ = estimate_dedup(rowptr, col, ec=ec)
     uc = int(min(max(-(-uc // 8) * 8, 8), ec))
-    num_rows = rowptr.shape[0] - 1
-    num_tiles, tb = _tile_slices(rowptr)
 
     uniqs, rows, lids, ws, tiles = [], [], [], [], []
     for t in range(num_tiles):
@@ -241,15 +350,31 @@ def build_dedup_plan(rowptr, col, ec: int = 512, uc='auto',
     meta[:, 1, :] = np.stack(lids)
     if weighted:
         meta[:, 2, :] = np.stack(ws).view(np.int32)
+    if hot_w is not None:
+        # Narrowest exact storage: int8 for counts <= 127 (the common
+        # case — multiplicities are almost always 1), bf16 for integer
+        # counts <= 256, f32 for weight sums / pathological counts. The
+        # kernel derives its precision splits from the dtype (int8/bf16
+        # entries are exact in bf16; f32 gets the hi/lo wl term).
+        mx = float(hot_w.max())
+        if not weighted and mx <= 127:
+            hot_w = jnp.asarray(hot_w.astype(np.int8))
+        elif not weighted and mx <= 256:
+            hot_w = jnp.asarray(hot_w, dtype=jnp.bfloat16)
+        else:
+            hot_w = jnp.asarray(hot_w)
+        hot_cols = jnp.asarray(hot_cols.astype(np.int32))
     return DedupSpmmPlan(
         uniq_cols=jnp.asarray(np.concatenate(uniqs).astype(np.int32)),
         edge_meta=jnp.asarray(meta),
         chunk_tile=jnp.asarray(np.asarray(tiles, np.int32)),
         num_rows=int(num_rows),
-        num_edges=int(col.shape[0]),
+        num_edges=num_edges_total,
         ec=int(ec),
         uc=int(uc),
         weighted=weighted,
+        hot_cols=hot_cols,
+        hot_w=hot_w,
     )
 
 
@@ -275,9 +400,76 @@ def pad_plan(plan: DedupSpmmPlan, num_chunks: int) -> DedupSpmmPlan:
                          chunk_tile=jnp.asarray(ct))
 
 
-def _dedup_kernel(chunk_tile, meta_ref, slab_ref, out_ref, *,
-                  weighted: bool):
-    """One grid step: expand one chunk's unique slab into its output tile."""
+def pad_hot(plan: DedupSpmmPlan, num_hot: int,
+            dtype=None) -> DedupSpmmPlan:
+    """Pad the hot level to ``num_hot`` columns (all-zero count columns
+    pointing at col 0 — they contribute nothing) so several plans share
+    one compiled kernel shape (the sharded path's contract). ``dtype``
+    optionally casts the count matrix so sibling plans also agree on
+    storage width."""
+    h = plan.num_hot
+    if dtype is not None and h and plan.hot_w.dtype != dtype:
+        plan = plan._replace(hot_w=plan.hot_w.astype(jnp.float32)
+                             .astype(dtype))
+    if num_hot <= 0 or h == num_hot:
+        return plan
+    if num_hot < h:
+        raise ValueError('cannot shrink the hot level')
+    num_tiles = max(-(-plan.num_rows // TR), 1)
+    if h == 0:
+        return plan._replace(
+            hot_cols=jnp.zeros(num_hot, jnp.int32),
+            hot_w=jnp.zeros((num_tiles * TR, num_hot),
+                            dtype or jnp.int8))
+    hc = np.concatenate([
+        np.asarray(jax.device_get(plan.hot_cols)),
+        np.zeros(num_hot - h, np.int32)
+    ])
+    hw = jnp.concatenate([
+        plan.hot_w,
+        jnp.zeros((plan.hot_w.shape[0], num_hot - h), plan.hot_w.dtype)
+    ], axis=1)
+    return plan._replace(hot_cols=jnp.asarray(hc.astype(np.int32)),
+                         hot_w=hw)
+
+
+def _wmat_dot(wmat, data, exact_bf16: bool):
+    """``wmat @ data`` with MXU precision splits.
+
+    ``exact_bf16`` promises every ``wmat`` entry is exactly
+    representable in bf16 (integer counts <= 256), skipping its lo term.
+    bf16/int8 ``data`` rides a single bf16 dot (the declared reduced
+    precision of those modes); f32 ``data`` is hi/lo split, dropping
+    only the lo·lo term (below f32 ulp).
+    """
+    dims = (((1, ), (0, )), ((), ()))
+    if data.dtype in (jnp.bfloat16, jnp.int8):
+        # int8 magnitudes (<=127) are exact in bf16; counts <= 128 keep
+        # every product below 2^24, so f32 accumulation stays exact.
+        return jax.lax.dot_general(wmat.astype(jnp.bfloat16),
+                                   data.astype(jnp.bfloat16),
+                                   dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+    d32 = data.astype(jnp.float32)
+    dh = d32.astype(jnp.bfloat16)
+    dl = (d32 - dh.astype(jnp.float32)).astype(jnp.bfloat16)
+    wh = wmat.astype(jnp.bfloat16)
+    out = (jax.lax.dot_general(wh, dh, dimension_numbers=dims,
+                               preferred_element_type=jnp.float32) +
+           jax.lax.dot_general(wh, dl, dimension_numbers=dims,
+                               preferred_element_type=jnp.float32))
+    if not exact_bf16:
+        wl = (wmat.astype(jnp.float32) -
+              wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = out + jax.lax.dot_general(
+            wl, dh, dimension_numbers=dims,
+            preferred_element_type=jnp.float32)
+    return out
+
+
+def _chunk_contrib(chunk_tile, meta_ref, slab_ref, *, weighted: bool):
+    """Shared body: expand one chunk's unique slab into a [TR, F] tile
+    contribution; returns ``(is_first_visit_of_tile, contrib)``."""
     c = pl.program_id(0)
     tile = chunk_tile[c]
     prev_tile = chunk_tile[jnp.maximum(c, 1) - 1]
@@ -308,36 +500,35 @@ def _dedup_kernel(chunk_tile, meta_ref, slab_ref, out_ref, *,
                                    dimension_numbers=dims_e,
                                    preferred_element_type=jnp.float32)
 
-    data = slab_ref[:]
-    dims = (((1, ), (0, )), ((), ()))
-    if data.dtype in (jnp.bfloat16, jnp.int8):
-        # int8 magnitudes (<=127) are exact in bf16; counts <= 128 keep
-        # every product below 2^24, so f32 accumulation stays exact.
-        contrib = jax.lax.dot_general(wmat.astype(jnp.bfloat16),
-                                      data.astype(jnp.bfloat16),
-                                      dimension_numbers=dims,
-                                      preferred_element_type=jnp.float32)
-    else:
-        # hi/lo split of BOTH operands (weighted wmat is general f32);
-        # the lo*lo term sits below f32 ulp and is dropped.
-        d32 = data.astype(jnp.float32)
-        dh = d32.astype(jnp.bfloat16)
-        dl = (d32 - dh.astype(jnp.float32)).astype(jnp.bfloat16)
-        wh = wmat.astype(jnp.bfloat16)
-        contrib = (
-            jax.lax.dot_general(wh, dh, dimension_numbers=dims,
-                                preferred_element_type=jnp.float32) +
-            jax.lax.dot_general(wh, dl, dimension_numbers=dims,
-                                preferred_element_type=jnp.float32))
-        if weighted:
-            wl = (wmat - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-            contrib = contrib + jax.lax.dot_general(
-                wl, dh, dimension_numbers=dims,
-                preferred_element_type=jnp.float32)
+    return is_first, _wmat_dot(wmat, slab_ref[:], not weighted)
+
+
+def _dedup_kernel(chunk_tile, meta_ref, slab_ref, out_ref, *,
+                  weighted: bool):
+    """One grid step: expand one chunk's unique slab into its output tile."""
+    is_first, contrib = _chunk_contrib(chunk_tile, meta_ref, slab_ref,
+                                       weighted=weighted)
 
     @pl.when(is_first)
     def _():
         out_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+def _dedup_kernel_hot(chunk_tile, meta_ref, slab_ref, hotw_ref, hot_ref,
+                      out_ref, *, weighted: bool):
+    """Hot variant: on the first visit of a tile, fold in the dense
+    count-matrix contraction against the VMEM-resident hot slab."""
+    is_first, contrib = _chunk_contrib(chunk_tile, meta_ref, slab_ref,
+                                       weighted=weighted)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = contrib + _wmat_dot(
+            hotw_ref[:], hot_ref[:], hotw_ref.dtype != jnp.float32)
 
     @pl.when(jnp.logical_not(is_first))
     def _():
@@ -382,6 +573,53 @@ def _dedup_sum_tpu(uniq_slab, edge_meta, chunk_tile, num_rows: int,
     return out[:num_rows]
 
 
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _dedup_sum_tpu_hot(uniq_slab, edge_meta, chunk_tile, hot_w, hot_slab,
+                       num_rows: int, ec: int, uc: int, weighted: bool,
+                       interpret: bool = False):
+    f = uniq_slab.shape[1]
+    h = hot_slab.shape[0]
+    num_chunks = chunk_tile.shape[0]
+    num_tiles = max(-(-num_rows // TR), 1)
+    r_pad = num_tiles * TR
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks, ),
+        in_specs=[
+            pl.BlockSpec((1, META_SUB, ec), lambda c, ct: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((uc, f), lambda c, ct: (c, 0),
+                         memory_space=pltpu.VMEM),
+            # one [TR, H] count block per tile (revisits don't reload)
+            pl.BlockSpec((TR, h), lambda c, ct: (ct[c], 0),
+                         memory_space=pltpu.VMEM),
+            # the hot slab: constant index -> resident across the grid
+            pl.BlockSpec((h, f), lambda c, ct: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, f), lambda c, ct: (ct[c], 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    kernel = partial(_dedup_kernel_hot, weighted=weighted)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r_pad, f), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_chunks * (TR * ec * uc + TR * uc * f) +
+            2 * num_tiles * TR * h * f,
+            bytes_accessed=num_chunks * (uc * f * 4 + META_SUB * ec * 4) +
+            num_tiles * TR * h * hot_w.dtype.itemsize + h * f * 4 +
+            r_pad * f * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(chunk_tile, edge_meta, uniq_slab, hot_w, hot_slab)
+    return out[:num_rows]
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _dedup_sum_xla(uniq_slab, edge_meta, chunk_tile, num_rows: int,
                    ec: int, uc: int, weighted: bool):
@@ -406,15 +644,27 @@ def _dedup_sum_xla(uniq_slab, edge_meta, chunk_tile, num_rows: int,
     return out[:num_rows]
 
 
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _dedup_sum_xla_hot(uniq_slab, edge_meta, chunk_tile, hot_w, hot_slab,
+                       num_rows: int, ec: int, uc: int, weighted: bool):
+    num_tiles = max(-(-num_rows // TR), 1)
+    out = _dedup_sum_xla(uniq_slab, edge_meta, chunk_tile,
+                         num_tiles * TR, ec, uc, weighted)
+    out = out + hot_w.astype(jnp.float32) @ hot_slab.astype(jnp.float32)
+    return out[:num_rows]
+
+
 def dedup_plan_apply(x: jax.Array, plan: DedupSpmmPlan,
                      interpret: Optional[bool] = None,
                      precision: Optional[str] = None) -> jax.Array:
     """``out[r] = Σ_{e in row r} w_e · x[col[e]]`` via the dedup schedule.
 
-    One unique-slab gather + the expansion kernel. ``precision`` matches
-    ``spmm_plan_apply``: ``'bf16'`` streams the unique slab in bfloat16,
-    ``'int8'`` quantises it per feature column (dequantisation commutes
-    with the weighted sum exactly as with the plain sum).
+    One unique-slab gather + the expansion kernel (plus, for two-level
+    plans, one hot-slab gather + the resident-slab contraction).
+    ``precision`` matches ``spmm_plan_apply``: ``'bf16'`` streams the
+    slabs in bfloat16, ``'int8'`` quantises them per feature column
+    (dequantisation commutes with the weighted sum exactly as with the
+    plain sum).
     """
     scale = None
     if precision == 'int8':
@@ -428,7 +678,18 @@ def dedup_plan_apply(x: jax.Array, plan: DedupSpmmPlan,
         xm = x
     slab = jnp.take(xm, plan.uniq_cols, axis=0)
     use_xla = interpret is None and jax.default_backend() != 'tpu'
-    if use_xla:
+    if plan.num_hot:
+        hot_slab = jnp.take(xm, plan.hot_cols, axis=0)
+        if use_xla:
+            out = _dedup_sum_xla_hot(slab, plan.edge_meta, plan.chunk_tile,
+                                     plan.hot_w, hot_slab, plan.num_rows,
+                                     plan.ec, plan.uc, plan.weighted)
+        else:
+            out = _dedup_sum_tpu_hot(slab, plan.edge_meta, plan.chunk_tile,
+                                     plan.hot_w, hot_slab, plan.num_rows,
+                                     plan.ec, plan.uc, plan.weighted,
+                                     bool(interpret))
+    elif use_xla:
         out = _dedup_sum_xla(slab, plan.edge_meta, plan.chunk_tile,
                              plan.num_rows, plan.ec, plan.uc, plan.weighted)
     else:

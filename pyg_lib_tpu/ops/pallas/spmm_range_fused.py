@@ -72,6 +72,12 @@ class FusedRangePlan(NamedTuple):
     weights: Optional[tuple] = None
 
 
+from pyg_lib_tpu.utils.pytree import register_plan_pytree  # noqa: E402
+
+register_plan_pytree(FusedRangePlan,
+                     ('bounds', 'num_rows', 'num_edges', 'chunk'))
+
+
 def build_fused_range_plan(rowptr, col, num_cols: int, range_split: int,
                            chunk=512, bounds=None,
                            edge_weight=None) -> FusedRangePlan:

@@ -59,6 +59,11 @@ class RangeSpmmPlan(NamedTuple):
     num_edges: int
 
 
+from pyg_lib_tpu.utils.pytree import register_plan_pytree  # noqa: E402
+
+register_plan_pytree(RangeSpmmPlan, ('bounds', 'num_rows', 'num_edges'))
+
+
 def _range_csrs(rowptr, col, num_cols: int, range_split: int):
     """Split a CSR into per-column-range CSRs (rebased cols)."""
     num_rows = rowptr.shape[0] - 1
@@ -266,11 +271,12 @@ def build_spmm_graph(rowptr, col, chunk=512,
 
         def side(rp, cl, w):
             if dedup == 'auto':
-                uc, gain = estimate_dedup(rp, cl, ec=ec)
+                _, gain = estimate_dedup(rp, cl, ec=ec)
                 if gain < 1.3:
                     return build_spmm_plan(rp, cl, chunk=ec)
-                return build_dedup_plan(rp, cl, ec=ec, uc=uc,
-                                        edge_weight=w)
+                # uc='auto': re-estimated inside on the cold remainder
+                # (the hot level removes hub edges from the chunks).
+                return build_dedup_plan(rp, cl, ec=ec, edge_weight=w)
             return build_dedup_plan(rp, cl, ec=ec, edge_weight=w)
 
         if dedup == 'auto' and edge_weight is not None:
@@ -316,19 +322,37 @@ def build_spmm_graph(rowptr, col, chunk=512,
     return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _zero_cot(tree):
+    """Zero cotangent for a plan/graph pytree: float leaves get dense
+    zeros, integer/bool leaves get float0 zeros (the JAX convention for
+    non-differentiable array types)."""
+    def z(leaf):
+        if hasattr(leaf, 'dtype') and jnp.issubdtype(leaf.dtype,
+                                                     jnp.inexact):
+            return jnp.zeros_like(leaf)
+        return np.zeros(jnp.shape(leaf), jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(z, tree)
+
+
+# Graphs/plans are DIFFERENTIABLE arguments with zero cotangents — not
+# nondiff_argnums slots, which reject tracers and would force plans back
+# into jit closures (see utils/pytree.py: closure constants inline the
+# plan arrays into the compiled module).
+@partial(jax.custom_vjp, nondiff_argnums=(2, ))
 def _spmm_sum(x, graph: SpmmGraph, precision: Optional[str] = None):
     return _plan_apply_any(x, graph.fwd, precision=precision)
 
 
 def _spmm_fwd(x, graph, precision):
-    return _plan_apply_any(x, graph.fwd, precision=precision), None
+    return _plan_apply_any(x, graph.fwd, precision=precision), graph
 
 
-def _spmm_bwd(graph, precision, _, g):
+def _spmm_bwd(precision, graph, g):
     # d/dx (A @ x) = Aᵀ @ g over the transpose plan; gradient messages
     # stream at the same precision as the forward.
-    return (_plan_apply_any(g, graph.bwd, precision=precision), )
+    return (_plan_apply_any(g, graph.bwd, precision=precision),
+            _zero_cot(graph))
 
 
 _spmm_sum.defvjp(_spmm_fwd, _spmm_bwd)
@@ -342,9 +366,13 @@ def spmm(x: jax.Array, graph: SpmmGraph, reduce: str = 'sum',
     composition ``segment_csr(x[col], rowptr, reduce=...)``
     (``pyg_lib/ops/__init__.py:816-835``) but gather-fused and planned.
 
-    Close over ``graph`` in jitted functions (as the examples do) rather
-    than passing it through the jit boundary as an argument: plans ride
-    ``custom_vjp`` nondiff slots, which must stay concrete.
+    PASS ``graph`` through jit boundaries as an argument (plans are
+    registered pytrees whose config rides static aux data — see
+    ``utils/pytree.py``) rather than closing over it: closure constants
+    are inlined into the compiled module (~260 MB of dense constants at
+    headline scale — measured to 413 the remote-compile tunnel and
+    stretch one compile to ~990 s), while arguments lower to cheap
+    parameters and let same-shaped graphs share one executable.
 
     ``reduce`` in {'sum', 'add', 'mean', 'max', 'min'}. max/min return
     EXACT values with the reference's winner-only gradient (the single
@@ -396,7 +424,7 @@ def spmm(x: jax.Array, graph: SpmmGraph, reduce: str = 'sum',
 # runs with ZERO per-edge re-permutations: one gather in, one tile write out.
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, ))
+@jax.custom_vjp
 def segment_sum_padded(msgs_padded: jax.Array, plan: SpmmPlan) -> jax.Array:
     """``out[r] = Σ msgs_padded[slots of row r]`` via the chunked kernel.
 
@@ -412,20 +440,21 @@ def segment_sum_padded(msgs_padded: jax.Array, plan: SpmmPlan) -> jax.Array:
 
 
 def _ssp_fwd(msgs_padded, plan):
-    return segment_sum_padded(msgs_padded, plan), None
+    return segment_sum_padded(msgs_padded, plan), plan
 
 
-def _ssp_bwd(plan, _, g):
+def _ssp_bwd(plan, g):
     # Pad slots alias row 0 via row_padded; the forward masks them, so
     # their cotangent must be zero (not g[0]).
     grad = jnp.take(g, plan.row_padded, axis=0)
-    return (grad * plan.valid_mask[:, None].astype(grad.dtype), )
+    return (grad * plan.valid_mask[:, None].astype(grad.dtype),
+            _zero_cot(plan))
 
 
 segment_sum_padded.defvjp(_ssp_fwd, _ssp_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, ))
+@jax.custom_vjp
 def segment_softmax_padded(x_padded: jax.Array,
                            plan: SpmmPlan) -> jax.Array:
     """Per-row softmax in padded edge coordinates (fused Pallas kernel).
@@ -445,12 +474,14 @@ def segment_softmax_padded(x_padded: jax.Array,
 
 def _ssm_fwd(x_padded, plan):
     out = segment_softmax_padded(x_padded, plan)
-    return out, out
+    return out, (out, plan)
 
 
-def _ssm_bwd(plan, out, g):
+def _ssm_bwd(res, g):
+    out, plan = res
     s = segment_sum_padded(out * g, plan)
-    return (out * (g - jnp.take(s, plan.row_padded, axis=0)), )
+    return (out * (g - jnp.take(s, plan.row_padded, axis=0)),
+            _zero_cot(plan))
 
 
 segment_softmax_padded.defvjp(_ssm_fwd, _ssm_bwd)
@@ -496,7 +527,7 @@ def _rows_nonempty(plan: SpmmPlan):
     return hi > lo
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+@partial(jax.custom_vjp, nondiff_argnums=(2, ))
 def _spmm_minmax(x, graph: 'SpmmGraph', is_min: bool):
     return _spmm_minmax_fwd(x, graph, is_min)[0]
 
@@ -517,14 +548,14 @@ def _spmm_minmax_fwd(x, graph, is_min):
     vals, pos = _spmm_minmax_impl(x, graph, is_min)
     # Zero-width proto carries x's row count and dtype through the
     # residuals (shapes/dtypes themselves are not valid JAX types).
-    return vals, (pos, jnp.zeros((x.shape[0], 0), x.dtype))
+    return vals, (pos, jnp.zeros((x.shape[0], 0), x.dtype), graph)
 
 
-def _spmm_minmax_bwd(graph, is_min, res, g):
+def _spmm_minmax_bwd(is_min, res, g):
     # Winner-only gradient (reference contract,
     # csrc/ops/autograd/scatter_kernel.cpp:432-456): route each row's
     # cotangent to the single winning source node.
-    pos, proto = res
+    pos, proto, graph = res
     plan = graph.fwd
     n_rows, f = pos.shape
     safe = jnp.maximum(pos, 0)
@@ -534,13 +565,13 @@ def _spmm_minmax_bwd(graph, is_min, res, g):
                             (n_rows, f))
     grad = jnp.zeros((proto.shape[0], f), g.dtype).at[col_win, cols].add(
         g, mode='drop')
-    return (grad.astype(proto.dtype), )
+    return (grad.astype(proto.dtype), _zero_cot(graph))
 
 
 _spmm_minmax.defvjp(_spmm_minmax_fwd, _spmm_minmax_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, ))
+@jax.custom_vjp
 def segment_max_padded(x_padded: jax.Array, plan: SpmmPlan) -> jax.Array:
     """Per-row max in padded coordinates — EXACT values, winner-only
     gradient (round 1 shipped a bf16-selection approximation with a
@@ -553,19 +584,19 @@ def _smx_fwd(x_padded, plan):
     vals, pos = _exact_rowmax(x_padded, plan)
     nonempty = _rows_nonempty(plan)
     vals = jnp.where(nonempty[:, None], vals, 0.0)
-    return vals, (pos, nonempty, jnp.zeros((x_padded.shape[0], 0),
-                                           x_padded.dtype))
+    return vals, (pos, nonempty,
+                  jnp.zeros((x_padded.shape[0], 0), x_padded.dtype), plan)
 
 
-def _smx_bwd(plan, res, g):
-    pos, nonempty, proto = res
+def _smx_bwd(res, g):
+    pos, nonempty, proto, plan = res
     n_rows, f = pos.shape
     safe = jnp.where(nonempty[:, None], pos, jnp.int32(proto.shape[0]))
     cols = jnp.broadcast_to(jnp.arange(f, dtype=jnp.int32)[None, :],
                             (n_rows, f))
     grad = jnp.zeros((proto.shape[0], f), g.dtype).at[safe, cols].add(
         g, mode='drop')
-    return (grad.astype(proto.dtype), )
+    return (grad.astype(proto.dtype), _zero_cot(plan))
 
 
 segment_max_padded.defvjp(_smx_fwd, _smx_bwd)
@@ -633,6 +664,9 @@ class ShardedSpmmGraph(NamedTuple):
     num_cols: int
 
 
+register_plan_pytree(ShardedSpmmGraph, ('num_rows', 'num_cols'))
+
+
 def build_spmm_graph_sharded(rowptr, col, num_splits: int,
                              chunk: int = 512,
                              num_cols: int = None,
@@ -691,17 +725,30 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
             ec = 512 if chunk == 'auto' else int(chunk)
             uc, gain = estimate_dedup(rp, cl, ec=ec)
             if dedup == 'on' or gain >= 1.3:
-                from pyg_lib_tpu.ops.pallas.spmm_dedup import pad_plan
+                from pyg_lib_tpu.ops.pallas.spmm_dedup import (pad_hot,
+                                                               pad_plan)
 
-                # One uc + one padded chunk count across splits: all
-                # splits share ONE compiled kernel (same contract as the
-                # plain sharded path).
+                # One uc + one padded chunk count + one hot width across
+                # splits: all splits share ONE compiled kernel (same
+                # contract as the plain sharded path).
                 plans = [
                     build_dedup_plan(s_rp, s_cl, ec=ec, uc=uc)
                     for s_rp, s_cl in subs
                 ]
                 cmax = max(p.num_chunks for p in plans)
-                return tuple(pad_plan(p, cmax) for p in plans)
+                hmax = max(p.num_hot for p in plans)
+                hdt = None
+                if hmax:
+                    # widest count storage across splits, so shapes AND
+                    # dtypes really share one compiled kernel
+                    rank = {jnp.dtype(jnp.int8): 0,
+                            jnp.dtype(jnp.bfloat16): 1,
+                            jnp.dtype(jnp.float32): 2}
+                    hdt = max((p.hot_w.dtype for p in plans if p.num_hot),
+                              key=lambda d: rank[jnp.dtype(d)])
+                return tuple(
+                    pad_hot(pad_plan(p, cmax), hmax, dtype=hdt)
+                    for p in plans)
         if range_split > 1:
             range_rps = [
                 rp_r for s_rp, s_cl in subs
@@ -754,7 +801,7 @@ def _sharded_apply(x, plans, num_rows=None, precision=None):
     return out if num_rows is None else out[:num_rows]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+@partial(jax.custom_vjp, nondiff_argnums=(2, ))
 def _spmm_sharded_sum(x, graph: ShardedSpmmGraph,
                       precision: Optional[str] = None):
     return _sharded_apply(x, graph.fwd, graph.num_rows, precision)
@@ -762,9 +809,10 @@ def _spmm_sharded_sum(x, graph: ShardedSpmmGraph,
 
 _spmm_sharded_sum.defvjp(
     lambda x, graph, precision:
-    (_sharded_apply(x, graph.fwd, graph.num_rows, precision), None),
-    lambda graph, precision, _, g:
-    (_sharded_apply(g, graph.bwd, graph.num_cols, precision), ))
+    (_sharded_apply(x, graph.fwd, graph.num_rows, precision), graph),
+    lambda precision, graph, g:
+    (_sharded_apply(g, graph.bwd, graph.num_cols, precision),
+     _zero_cot(graph)))
 
 
 def spmm_sharded(x: jax.Array, graph: ShardedSpmmGraph,

@@ -238,6 +238,117 @@ def test_sharded_dedup_matches_reference_and_shares_shapes():
                                      range_split=2)
 
 
+def test_hot_plan_matches_reference():
+    # Two-level plan: hub columns leave the chunks for the dense
+    # count-matrix level; result must be identical.
+    rng = np.random.default_rng(31)
+    rowptr, col = _powerlaw_graph(rng, 600, 9000, alpha=1.3)
+    x = rng.normal(size=(600, 128)).astype(np.float32)
+    plan = build_dedup_plan(rowptr, col, ec=256, hot=64, hot_thresh=2)
+    assert plan.num_hot == 64
+    assert plan.hot_w.dtype == jnp.bfloat16  # integer counts <= 256
+    # hub edges actually left the cold chunks
+    plain = build_dedup_plan(rowptr, col, ec=256, hot='off')
+    assert plan.uniq_cols.shape[0] < plain.uniq_cols.shape[0]
+    ref = _ref(x, rowptr, col)
+    out = dedup_plan_apply(jnp.asarray(x), plan)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=2e-3)
+    ker = dedup_plan_apply(jnp.asarray(x), plan, interpret=True)
+    np.testing.assert_allclose(np.asarray(ker), ref, atol=2e-3, rtol=2e-3)
+
+
+def test_hot_plan_weighted_and_precision():
+    rng = np.random.default_rng(33)
+    rowptr, col = _powerlaw_graph(rng, 500, 7000, alpha=1.3)
+    w = rng.normal(size=7000).astype(np.float32)
+    x = rng.normal(size=(500, 128)).astype(np.float32)
+    plan = build_dedup_plan(rowptr, col, ec=256, edge_weight=w, hot=32,
+                            hot_thresh=2)
+    assert plan.num_hot == 32
+    assert plan.hot_w.dtype == jnp.float32  # general weight sums
+    ref = _ref(x, rowptr, col, w)
+    out = dedup_plan_apply(jnp.asarray(x), plan)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-3, rtol=3e-3)
+    ker = dedup_plan_apply(jnp.asarray(x), plan, interpret=True)
+    np.testing.assert_allclose(np.asarray(ker), ref, atol=3e-3, rtol=3e-3)
+    # reduced-precision modes on the unweighted hot plan
+    plan_u = build_dedup_plan(rowptr, col, ec=256, hot=32, hot_thresh=2)
+    ref_u = _ref(x, rowptr, col)
+    for prec, tol in [('bf16', 0.15), ('int8', 0.6)]:
+        o = dedup_plan_apply(jnp.asarray(x), plan_u, precision=prec)
+        err = np.abs(np.asarray(o) - ref_u) / np.maximum(np.abs(ref_u), 1.0)
+        assert np.quantile(err, 0.999) < tol
+
+
+def test_hot_auto_gates_small_grids():
+    # auto never enables the dense count level on tiny grids (< 16 tiles)
+    rng = np.random.default_rng(35)
+    rowptr, col = _powerlaw_graph(rng, 600, 9000, alpha=1.5)
+    plan = build_dedup_plan(rowptr, col, ec=256)
+    assert plan.num_hot == 0
+    # but a threshold override can force it
+    plan2 = build_dedup_plan(rowptr, col, ec=256, hot_thresh=2)
+    assert plan2.num_hot > 0
+    x = rng.normal(size=(600, 32)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(dedup_plan_apply(jnp.asarray(x), plan2)),
+        _ref(x, rowptr, col), atol=2e-3, rtol=2e-3)
+
+
+def test_hot_grad_end_to_end():
+    rng = np.random.default_rng(37)
+    rowptr, col = _powerlaw_graph(rng, 400, 6000, alpha=1.4)
+    x = rng.normal(size=(400, 64)).astype(np.float32)
+    gv = rng.normal(size=(400, 64)).astype(np.float32)
+    from pyg_lib_tpu.ops.pallas.spmm_dedup import DedupSpmmPlan
+    from pyg_lib_tpu.ops.spmm import SpmmGraph, _transpose_csr
+
+    # build an SpmmGraph with hot plans on both sides by hand (the auto
+    # threshold needs >= 16 tiles; tests run far smaller)
+    t_ptr, t_col = _transpose_csr(rowptr, col, 400)
+    fwd = build_dedup_plan(rowptr, col, ec=256, hot=32, hot_thresh=2)
+    bwd = build_dedup_plan(t_ptr, t_col, ec=256, hot=32, hot_thresh=2)
+    deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
+    graph = SpmmGraph(fwd=fwd, bwd=bwd, deg=deg)
+    assert fwd.num_hot == 32
+    out = ops.spmm(jnp.asarray(x), graph)
+    np.testing.assert_allclose(np.asarray(out), _ref(x, rowptr, col),
+                               atol=2e-3, rtol=2e-3)
+    grad = jax.grad(lambda xx: jnp.vdot(ops.spmm(xx, graph),
+                                        jnp.asarray(gv)))(jnp.asarray(x))
+    rows = np.repeat(np.arange(400), np.diff(rowptr))
+    ref_grad = np.zeros_like(x)
+    np.add.at(ref_grad, col, gv[rows])
+    np.testing.assert_allclose(np.asarray(grad), ref_grad, atol=2e-3,
+                               rtol=2e-3)
+
+
+def test_pad_hot_is_noop_numerically():
+    from pyg_lib_tpu.ops.pallas.spmm_dedup import pad_hot, pad_plan
+
+    rng = np.random.default_rng(39)
+    rowptr, col = _powerlaw_graph(rng, 300, 4000, alpha=1.3)
+    x = rng.normal(size=(300, 32)).astype(np.float32)
+    plan = build_dedup_plan(rowptr, col, ec=128, hot=16, hot_thresh=2)
+    padded = pad_hot(pad_plan(plan, plan.num_chunks + 3), 40)
+    assert padded.num_hot == 40 and padded.num_chunks == plan.num_chunks + 3
+    a = dedup_plan_apply(jnp.asarray(x), plan)
+    b = dedup_plan_apply(jnp.asarray(x), padded)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    bi = dedup_plan_apply(jnp.asarray(x), padded, interpret=True)
+    np.testing.assert_allclose(np.asarray(bi), np.asarray(a), atol=2e-3,
+                               rtol=2e-3)
+    # padding a hot-less plan up creates an all-zero hot level
+    plain = build_dedup_plan(rowptr, col, ec=128, hot='off')
+    lifted = pad_hot(plain, 16)
+    assert lifted.num_hot == 16
+    c = dedup_plan_apply(jnp.asarray(x), lifted)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a), atol=2e-3,
+                               rtol=2e-3)
+    with pytest.raises(ValueError, match='shrink'):
+        pad_hot(padded, 8)
+
+
 def test_pad_plan_is_noop_numerically():
     from pyg_lib_tpu.ops.pallas.spmm_dedup import pad_plan
 
