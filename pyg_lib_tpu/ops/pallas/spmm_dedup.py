@@ -287,11 +287,12 @@ def build_dedup_plan(rowptr, col, ec: int = 512, uc='auto',
     num_edges_total = int(col.shape[0])
     num_tiles, tb = _tile_slices(rowptr)
 
-    hot_cols = _select_hot(rowptr, col, num_tiles, hot, hot_thresh,
-                           hot_max, hot_budget_bytes,
-                           4 if weighted else 1)
-    hot_w = None
-    if hot_cols is not None:
+    hot_sel = _select_hot(rowptr, col, num_tiles, hot, hot_thresh,
+                          hot_max, hot_budget_bytes,
+                          4 if weighted else 1)
+    hot_cols = hot_w = None
+    while hot_sel is not None:
+        hot_cols = np.sort(hot_sel)
         h = hot_cols.shape[0]
         hid_of = np.full(int(max(col.max(), hot_cols.max())) + 1, -1,
                          np.int64)
@@ -303,6 +304,21 @@ def build_dedup_plan(rowptr, col, ec: int = 512, uc='auto',
         hot_w = np.zeros((num_tiles * TR, h), np.float32)
         np.add.at(hot_w, (row_e[is_hot], hid_e[is_hot]),
                   edge_weight[is_hot] if weighted else 1.0)
+        # Re-clamp against the byte budget with the ACTUAL storage width:
+        # _select_hot capped assuming 1 byte/entry for unweighted plans,
+        # but counts in 128..256 store as bf16 (2 bytes) and larger as
+        # f32, so the streamed count matrix could exceed the budget 2-4x.
+        mx = float(hot_w.max())
+        item = 4 if (weighted or mx > 256) else (1 if mx <= 127 else 2)
+        cap = hot_budget_bytes // max(num_tiles * TR * item, 1)
+        if h <= cap:
+            break
+        h8 = (min(h, cap) // 8) * 8
+        if h8 < 8:
+            hot_sel = hot_cols = hot_w = None
+            break
+        hot_sel = hot_sel[:h8]  # span-ordered: keep the widest spans
+    if hot_w is not None:
         # Cold remainder CSR (row order is preserved by the mask).
         keep = ~is_hot
         rowptr_c = np.zeros(num_rows + 1, np.int64)
@@ -650,7 +666,12 @@ def _dedup_sum_xla_hot(uniq_slab, edge_meta, chunk_tile, hot_w, hot_slab,
     num_tiles = max(-(-num_rows // TR), 1)
     out = _dedup_sum_xla(uniq_slab, edge_meta, chunk_tile,
                          num_tiles * TR, ec, uc, weighted)
-    out = out + hot_w.astype(jnp.float32) @ hot_slab.astype(jnp.float32)
+    # HIGHEST: default-precision f32 dots truncate operands to bf16 on
+    # backends with bf16-native MXUs, silently breaking the f32 contract
+    # the Pallas kernel keeps via hi/lo splits (advisor round-4 finding).
+    out = out + jnp.matmul(hot_w.astype(jnp.float32),
+                           hot_slab.astype(jnp.float32),
+                           precision=jax.lax.Precision.HIGHEST)
     return out[:num_rows]
 
 

@@ -723,17 +723,28 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
             from pyg_lib_tpu.ops.pallas.spmm_dedup import (
                 build_dedup_plan, estimate_dedup)
             ec = 512 if chunk == 'auto' else int(chunk)
-            uc, gain = estimate_dedup(rp, cl, ec=ec)
+            _, gain = estimate_dedup(rp, cl, ec=ec)
             if dedup == 'on' or gain >= 1.3:
                 from pyg_lib_tpu.ops.pallas.spmm_dedup import (pad_hot,
                                                                pad_plan)
 
                 # One uc + one padded chunk count + one hot width across
                 # splits: all splits share ONE compiled kernel (same
-                # contract as the plain sharded path).
+                # contract as the plain sharded path). uc='auto' lets
+                # each split re-estimate on its COLD remainder (the hot
+                # level removes hub edges first — a shared uc sized on
+                # the full edge list inflates padded unique slots per
+                # chunk); differing splits then rebuild at the max so
+                # the kernel shape still unifies.
                 plans = [
-                    build_dedup_plan(s_rp, s_cl, ec=ec, uc=uc)
+                    build_dedup_plan(s_rp, s_cl, ec=ec, uc='auto')
                     for s_rp, s_cl in subs
+                ]
+                ucmax = max(p.uc for p in plans)
+                plans = [
+                    p if p.uc == ucmax else build_dedup_plan(
+                        s_rp, s_cl, ec=ec, uc=ucmax)
+                    for p, (s_rp, s_cl) in zip(plans, subs)
                 ]
                 cmax = max(p.num_chunks for p in plans)
                 hmax = max(p.num_hot for p in plans)

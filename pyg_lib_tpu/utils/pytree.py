@@ -34,6 +34,7 @@ __all__ = ['register_plan_pytree']
 
 _NP = '__np__'
 _DICT = '__dict__'
+_TUP = '__tup__'
 
 
 def _encode_aux(v):
@@ -43,8 +44,11 @@ def _encode_aux(v):
     if isinstance(v, dict):
         return (_DICT,
                 tuple((k, _encode_aux(x)) for k, x in sorted(v.items())))
-    if isinstance(v, list):
-        return tuple(_encode_aux(x) for x in v)
+    if isinstance(v, (list, tuple)):
+        # Plain tuples recurse too (a static tuple holding a numpy array
+        # or dict would otherwise flatten to an unhashable treedef); the
+        # tag keeps decode unambiguous vs the __np__/__dict__ markers.
+        return (_TUP, tuple(_encode_aux(x) for x in v))
     return v
 
 
@@ -53,6 +57,8 @@ def _decode_aux(v):
         return np.asarray(v[3], dtype=np.dtype(v[1])).reshape(v[2])
     if isinstance(v, tuple) and len(v) == 2 and v[0] == _DICT:
         return {k: _decode_aux(x) for k, x in v[1]}
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == _TUP:
+        return tuple(_decode_aux(x) for x in v[1])
     return v
 
 

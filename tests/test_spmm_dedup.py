@@ -246,7 +246,8 @@ def test_hot_plan_matches_reference():
     x = rng.normal(size=(600, 128)).astype(np.float32)
     plan = build_dedup_plan(rowptr, col, ec=256, hot=64, hot_thresh=2)
     assert plan.num_hot == 64
-    assert plan.hot_w.dtype == jnp.bfloat16  # integer counts <= 256
+    # counts here are tiny multiplicities -> narrowest exact storage
+    assert plan.hot_w.dtype == jnp.int8
     # hub edges actually left the cold chunks
     plain = build_dedup_plan(rowptr, col, ec=256, hot='off')
     assert plan.uniq_cols.shape[0] < plain.uniq_cols.shape[0]
@@ -255,6 +256,71 @@ def test_hot_plan_matches_reference():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=2e-3)
     ker = dedup_plan_apply(jnp.asarray(x), plan, interpret=True)
     np.testing.assert_allclose(np.asarray(ker), ref, atol=2e-3, rtol=2e-3)
+
+
+def test_hot_plan_count_storage_tiers():
+    # Multiplicity > 127 forces bf16 count storage (still exact: integer
+    # counts <= 256 are representable); the result must stay identical.
+    rng = np.random.default_rng(41)
+    n = 300  # 3 tiles
+    # cols 0..7 span all 3 tiles (edges from rows 0/128/256) -> the ONLY
+    # hot candidates at hot_thresh=2; everything else spans one tile.
+    row = np.tile(np.array([0, 128, 256], np.int64), 8)
+    col = np.repeat(np.arange(8, dtype=np.int64), 3)
+    # plant a multigraph hub: row 0 gets 150 parallel edges to column 0
+    # cold edges confined to tile 0 so their cols all have span 1
+    row = np.concatenate([row, np.zeros(150, np.int64),
+                          rng.integers(0, 128, 1500)])
+    col = np.concatenate([col, np.zeros(150, np.int64),
+                          rng.integers(8, n, 1500)])
+    rowptr, col = _csr_from_edges(row, col, n)
+    plan = build_dedup_plan(rowptr, col, ec=256, hot=8, hot_thresh=2)
+    assert plan.num_hot == 8
+    assert plan.hot_w.dtype == jnp.bfloat16
+    assert float(jnp.max(plan.hot_w.astype(jnp.float32))) == 151.0
+    x = rng.normal(size=(n, 64)).astype(np.float32)
+    out = dedup_plan_apply(jnp.asarray(x), plan)
+    np.testing.assert_allclose(np.asarray(out), _ref(x, rowptr, col),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_hot_budget_reclamps_for_wide_storage():
+    # The byte budget is enforced against the ACTUAL storage width: with
+    # counts > 127 (bf16, 2 B/entry) a budget sized for 1 B/entry must
+    # halve the hot set rather than exceed the stream budget (advisor
+    # round-4 finding).
+    from pyg_lib_tpu.ops.pallas.spmm_dedup import TR, _tile_slices
+
+    rng = np.random.default_rng(43)
+    nt = 33  # >= 16 tiles -> auto hot level is live
+    n = nt * 128
+    # col 0 spans all 33 tiles (widest, survives any truncation);
+    # cols 1..15 span 20 tiles each. Nothing else is a candidate.
+    row = [np.arange(nt, dtype=np.int64) * 128]
+    col = [np.zeros(nt, np.int64)]
+    for c in range(1, 16):
+        row.append(np.arange(20, dtype=np.int64) * 128 + c)
+        col.append(np.full(20, c, np.int64))
+    # plant one >127 multiplicity on col 0 so storage is bf16
+    row.append(np.zeros(130, np.int64))
+    col.append(np.zeros(130, np.int64))
+    # cold edges confined to tile 0 so their cols all have span 1
+    row.append(rng.integers(0, 128, 8000))
+    col.append(rng.integers(16, n, 8000))
+    rowptr, col = _csr_from_edges(np.concatenate(row),
+                                  np.concatenate(col), n)
+    num_tiles = _tile_slices(rowptr)[0]
+    budget = num_tiles * TR * 16  # 1-B cap = 16 cols; 2-B cap = 8
+    plan = build_dedup_plan(rowptr, col, ec=256, hot_thresh=2,
+                            hot_budget_bytes=budget)
+    assert plan.hot_w.dtype == jnp.bfloat16
+    assert plan.num_hot == 8
+    assert 0 in np.asarray(plan.hot_cols)  # widest span survived
+    assert plan.hot_w.shape[1] * 2 * num_tiles * TR <= budget
+    x = rng.normal(size=(n, 32)).astype(np.float32)
+    out = dedup_plan_apply(jnp.asarray(x), plan)
+    np.testing.assert_allclose(np.asarray(out), _ref(x, rowptr, col),
+                               atol=2e-3, rtol=2e-3)
 
 
 def test_hot_plan_weighted_and_precision():
