@@ -200,7 +200,8 @@ def main():
     torch.set_num_threads(8)
     _cpp.set_num_threads(8)
 
-    scatter_j = jax.jit(lambda s, i: ops.scatter_sum(s, i, dim_size=nseg))
+    scatter_j = jax.jit(
+        lambda s, i: ops.scatter_sum(s, i, dim=0, dim_size=nseg))
     scatter_j(src_j, idx_j).block_until_ready()
     emit('scatter_sum[4M,128]', 8,
          _bench(lambda: scatter_j(src_j, idx_j).block_until_ready(), 5),

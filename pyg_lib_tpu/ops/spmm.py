@@ -150,10 +150,17 @@ def _plan_apply_any(x, plan, precision=None):
 
 
 class SpmmGraph(NamedTuple):
-    """Forward + transpose plans for one CSR graph, plus degree vector."""
+    """Forward + transpose plans for one CSR graph, plus degree vector.
+
+    ``mm`` (optional, ``build_spmm_graph(minmax=...)``) is a dedicated
+    min/max schedule over PAIR-DEDUPED edges — duplicate ``(row, col)``
+    edges are redundant for order statistics — either a
+    ``DedupMinmaxPlan`` (tile-scope unique gathers, the hub fix) or a
+    plain ``SpmmPlan`` when tile-scope reuse would not pay."""
     fwd: SpmmPlan
     bwd: SpmmPlan  # plan over the transposed graph (for grad_x)
     deg: jax.Array  # [num_rows] f32 row degrees (for reduce='mean')
+    mm: Optional[object] = None  # min/max plan (pair-deduped edges)
 
 
 def _transpose_csr(rowptr, col, num_cols, return_order: bool = False):
@@ -212,7 +219,8 @@ def build_spmm_graph(rowptr, col, chunk=512,
                      range_split: int = 1,
                      range_fused: bool = False,
                      dedup='off',
-                     edge_weight=None) -> SpmmGraph:
+                     edge_weight=None,
+                     minmax='off') -> SpmmGraph:
     """Host-side, one-time: build fwd and transpose SpMM plans.
 
     ``with_edge_maps=True`` equips the forward plan for the padded-space
@@ -242,6 +250,15 @@ def build_spmm_graph(rowptr, col, chunk=512,
     f32 vector, dedup paths only) bakes per-edge weights into the
     expansion, computing ``out[r] = Σ w_e · x[col_e]``; weights are plan
     constants, and the transpose plan carries them so gradients match.
+
+    ``minmax`` in {'off', 'auto', 'on'} additionally builds a dedicated
+    ``reduce='max'/'min'`` schedule over PAIR-DEDUPED edges (duplicate
+    ``(row, col)`` pairs are semantically redundant for order
+    statistics): ``'on'`` forces the dedup-gather min/max kernel
+    (``pallas.spmm_dedup_minmax`` — each (tile, column) pair gathered
+    once, the hub-penalty fix), ``'auto'`` picks it past the ~1.3x
+    estimated gather gain and otherwise keeps a plain plan over the
+    deduped edges. Without it, min/max requires a single-plan graph.
     """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
@@ -253,6 +270,35 @@ def build_spmm_graph(rowptr, col, chunk=512,
                          f"{dedup!r}")
     dedup = {'off': 'off', False: 'off', 'on': 'on', True: 'on',
              'auto': 'auto'}[dedup]
+    if minmax not in ('off', 'auto', 'on', False, True):
+        raise ValueError(f"minmax must be 'off', 'auto' or 'on', got "
+                         f"{minmax!r}")
+    minmax = {'off': 'off', False: 'off', 'on': 'on', True: 'on',
+              'auto': 'auto'}[minmax]
+    mm = None
+    if minmax != 'off':
+        from pyg_lib_tpu.ops.pallas.spmm_dedup import estimate_dedup
+        from pyg_lib_tpu.ops.pallas.spmm_dedup_minmax import (
+            build_dedup_minmax_plan, dedup_pairs, estimate_minmax_config)
+        rp_d, cl_d = dedup_pairs(rowptr, col)
+        # (ec, uc) are picked by the min/max kernel's own chip-calibrated
+        # cost model (scan/extraction cost is per edge SLOT — unlike the
+        # sum kernel's MXU-borne expansion; BENCHMARKS.md round-5 sweep).
+        ec_mm, uc_mm = estimate_minmax_config(rp_d, cl_d)
+        use_kernel = minmax == 'on'
+        if not use_kernel:
+            _, gain = estimate_dedup(rp_d, cl_d, ec=ec_mm)
+            use_kernel = gain >= 1.3
+        if use_kernel:
+            mm = build_dedup_minmax_plan(rp_d, cl_d, ec=ec_mm, uc=uc_mm,
+                                         _pre_deduped=True)
+            mm = mm._replace(num_edges=int(col.shape[0]))
+        elif dedup == 'off' and range_split <= 1:
+            mm = None  # fwd is a single plan: it serves min/max as-is
+            # (a rebuilt pair-dedup plan measured SLOWER on uniform
+            # graphs — more grid steps for a ~1% edge saving)
+        else:
+            mm = build_spmm_plan(rp_d, cl_d, chunk=512)
     if edge_weight is not None and dedup == 'off':
         raise ValueError('edge_weight requires dedup="on"/"auto" (or use '
                          'build_weighted_fused_graph)')
@@ -286,7 +332,7 @@ def build_spmm_graph(rowptr, col, chunk=512,
         fwd = side(rowptr, col, edge_weight)
         bwd = side(t_ptr, t_col, t_weight)
         deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
-        return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg)
+        return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg, mm=mm)
     if chunk == 'auto' and range_split == 1:
         from pyg_lib_tpu.ops.pallas.spmm_chunked import auto_chunk
         chunk = auto_chunk(rowptr)
@@ -310,7 +356,7 @@ def build_spmm_graph(rowptr, col, chunk=512,
             bwd = _build_range_plan(t_ptr, t_col, num_rows, range_split,
                                     chunk)
         deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
-        return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg)
+        return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg, mm=mm)
     fwd = build_spmm_plan(rowptr, col, chunk=chunk,
                           with_edge_maps=with_edge_maps)
 
@@ -319,7 +365,7 @@ def build_spmm_graph(rowptr, col, chunk=512,
                           with_edge_maps=with_edge_maps)
 
     deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
-    return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg)
+    return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg, mm=mm)
 
 
 def _zero_cot(tree):
@@ -400,11 +446,13 @@ def spmm(x: jax.Array, graph: SpmmGraph, reduce: str = 'sum',
     if precision == 'highest':
         precision = None
     if reduce in ('max', 'min'):
-        if not isinstance(graph.fwd, SpmmPlan):
+        from pyg_lib_tpu.ops.pallas.spmm_dedup_minmax import DedupMinmaxPlan
+        plan = graph.mm if graph.mm is not None else graph.fwd
+        if not isinstance(plan, (SpmmPlan, DedupMinmaxPlan)):
             raise ValueError(
-                "spmm reduce='max'/'min' needs a single-plan graph; "
-                'build without range_split/dedup (min/max gathers once '
-                'and is not expansion-compatible)')
+                "spmm reduce='max'/'min' needs a single-plan graph or "
+                "one built with minmax='auto'/'on' (range_split/dedup "
+                'plans carry no min/max schedule of their own)')
         return _spmm_minmax(x, graph, reduce == 'min').astype(x.dtype)
     if reduce not in ('sum', 'add', 'mean'):
         raise ValueError(
@@ -533,14 +581,27 @@ def _spmm_minmax(x, graph: 'SpmmGraph', is_min: bool):
 
 
 def _spmm_minmax_impl(x, graph, is_min):
-    plan = graph.fwd
-    msgs = jnp.take(x, plan.col_padded, axis=0)
-    vals, pos = _exact_rowmax(-msgs if is_min else msgs, plan)
+    """Returns ``(vals [N, F], pos [N, F])`` — winning position into the
+    min/max plan's index array (``uniq_cols`` for dedup plans,
+    ``col_padded`` otherwise), -1 for empty rows. Positions map to source
+    columns lazily in the BACKWARD only — materialising the winning
+    column ids here costs an [N, F] gather the forward never needs."""
+    from pyg_lib_tpu.ops.pallas.segment_minmax_kernel import POS_NONE
+    from pyg_lib_tpu.ops.pallas.spmm_dedup_minmax import (
+        DedupMinmaxPlan, dedup_minmax_apply)
+
+    plan = graph.mm if graph.mm is not None else graph.fwd
+    if isinstance(plan, DedupMinmaxPlan):
+        xi = -x if is_min else x
+        vals, pos = dedup_minmax_apply(xi, plan)
+    else:
+        msgs = jnp.take(x, plan.col_padded, axis=0)
+        vals, pos = _exact_rowmax(-msgs if is_min else msgs, plan)
     if is_min:
         vals = -vals
     empty = (graph.deg < 0.5)[:, None]
     vals = jnp.where(empty, 0.0, vals)
-    pos = jnp.where(empty, jnp.int32(-1), pos)
+    pos = jnp.where(empty | (pos >= POS_NONE), jnp.int32(-1), pos)
     return vals, pos
 
 
@@ -555,12 +616,16 @@ def _spmm_minmax_bwd(is_min, res, g):
     # Winner-only gradient (reference contract,
     # csrc/ops/autograd/scatter_kernel.cpp:432-456): route each row's
     # cotangent to the single winning source node.
+    from pyg_lib_tpu.ops.pallas.spmm_dedup_minmax import DedupMinmaxPlan
+
     pos, proto, graph = res
-    plan = graph.fwd
+    plan = graph.mm if graph.mm is not None else graph.fwd
+    idx = (plan.uniq_cols
+           if isinstance(plan, DedupMinmaxPlan) else plan.col_padded)
     n_rows, f = pos.shape
-    safe = jnp.maximum(pos, 0)
+    safe = jnp.clip(pos, 0, idx.shape[0] - 1)
     col_win = jnp.where(pos < 0, jnp.int32(proto.shape[0]),
-                        jnp.take(plan.col_padded, safe))  # [N, F]
+                        jnp.take(idx, safe))  # [N, F]
     cols = jnp.broadcast_to(jnp.arange(f, dtype=jnp.int32)[None, :],
                             (n_rows, f))
     grad = jnp.zeros((proto.shape[0], f), g.dtype).at[col_win, cols].add(

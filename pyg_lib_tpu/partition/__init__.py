@@ -21,7 +21,8 @@ __all__ = [
 ]
 
 
-def cluster_reorder(rowptr, col, part):
+def cluster_reorder(rowptr, col, part, block_rows=None,
+                    with_edge_perm=True, col_dtype=None):
     """Relabel nodes so each partition's ids are contiguous; permute CSR.
 
     The gather side of SpMM on TPU is transaction-bound with a per-row
@@ -40,28 +41,48 @@ def cluster_reorder(rowptr, col, part):
     carrying edge weights/attributes along). Outputs in the new id
     space map back via ``out_old = out_new[rank]`` with
     ``rank = np.argsort(node_perm)``.
+
+    Scale controls (papers100M-class audit, bench/bench_scale_audit.py):
+    ``block_rows`` processes the permutation in row blocks, bounding the
+    O(E) int64 temporaries (~24 bytes/edge otherwise — 24 GB at 1B
+    edges) to ~24 bytes x block edges; ``with_edge_perm=False`` skips
+    materialising ``edge_perm`` (returned as None); ``col_dtype``
+    narrows the output column array (int32 halves it whenever
+    ``num_nodes < 2**31``).
     """
     rowptr = np.ascontiguousarray(rowptr, np.int64)
-    col = np.ascontiguousarray(col, np.int64)
+    col = np.ascontiguousarray(col)
     part = np.ascontiguousarray(part, np.int64)
     n = rowptr.shape[0] - 1
     if part.shape[0] != n:
         raise ValueError(f'part has {part.shape[0]} entries for {n} nodes')
     node_perm = np.argsort(part, kind='stable')  # new -> old
-    rank = np.empty(n, np.int64)
-    rank[node_perm] = np.arange(n, dtype=np.int64)
+    rank_dtype = np.int32 if (col_dtype == np.int32 or
+                              (col_dtype is None and n < 2**31 and
+                               col.dtype == np.int32)) else np.int64
+    rank = np.empty(n, rank_dtype)
+    rank[node_perm] = np.arange(n, dtype=rank_dtype)
     deg = np.diff(rowptr)
     new_deg = deg[node_perm]
     new_rowptr = np.zeros(n + 1, np.int64)
     np.cumsum(new_deg, out=new_rowptr[1:])
     e = int(new_rowptr[-1])
-    # Old edge id of each new edge slot: each new row i copies the old
-    # row node_perm[i]'s slice in order.
-    base = np.repeat(rowptr[node_perm], new_deg)
-    within = np.arange(e, dtype=np.int64) - np.repeat(new_rowptr[:-1],
-                                                      new_deg)
-    edge_perm = base + within
-    new_col = rank[col[edge_perm]]
+    new_col = np.empty(e, col_dtype or col.dtype)
+    edge_perm = np.empty(e, np.int64) if with_edge_perm else None
+    nb = n if not block_rows else int(block_rows)
+    for lo in range(0, max(n, 1), nb):
+        hi = min(lo + nb, n)
+        nd = new_deg[lo:hi]
+        # Old edge id of each new edge slot in this block: new row i
+        # copies the old row node_perm[i]'s slice in order.
+        base = np.repeat(rowptr[node_perm[lo:hi]], nd)
+        o0, o1 = int(new_rowptr[lo]), int(new_rowptr[hi])
+        within = (np.arange(o1 - o0, dtype=np.int64) -
+                  np.repeat(new_rowptr[lo:hi] - o0, nd))
+        ep = base + within
+        new_col[o0:o1] = rank[col[ep]]
+        if with_edge_perm:
+            edge_perm[o0:o1] = ep
     return new_rowptr, new_col, node_perm, edge_perm
 
 
@@ -284,7 +305,10 @@ def metis(rowptr, col, num_partitions: int, node_weight=None,
     n = len(rowptr) - 1
     nw = (np.ones(n) if node_weight is None else np.ascontiguousarray(
         node_weight, np.float64))
-    ew = (np.ones(len(col)) if edge_weight is None else
+    # ew stays None for unit weights: the native kernels treat a null
+    # pointer as weight 1.0, and an O(E) float64 ones array is 8 GB at
+    # the papers100M scale the cpp path exists for (scale audit).
+    ew = (None if edge_weight is None else
           np.ascontiguousarray(edge_weight, np.float64))
     k = num_partitions
     if k <= 1:
@@ -334,6 +358,8 @@ def metis(rowptr, col, num_partitions: int, node_weight=None,
         part = np.ascontiguousarray(part, np.int64)
         _cpp.part_refine_cpp(rowptr, col, nw, ew, part, k, 2, 1.05)
         return part
+    if ew is None:
+        ew = np.ones(len(col))
     return _refine(rowptr, col, nw, ew, part, k)
 
 

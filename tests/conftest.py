@@ -21,4 +21,14 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
+# Persistent compile cache for the suite: the pre-commit use case is
+# REPEAT runs, where XLA:CPU compilation dominates wall time (round-4
+# verdict: quick tier must be fast enough to gate every commit). First
+# run populates .jax_test_cache/; later runs compile warm.
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), '.jax_test_cache'))
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+
 assert jax.default_backend() == 'cpu', 'tests must run on the CPU backend'
