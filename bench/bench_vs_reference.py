@@ -32,12 +32,18 @@ _LIB = os.environ.get('PYGT_REFERENCE_LIB', '/tmp/refsrc/build/libpyg.so')
 
 
 def _bench(fn, repeat=10, warmup=2):
+    """Median per-call ms. Median, not mean: this 1-core dev VM shows
+    rare ~100 ms scheduler stalls that poison a 10-rep mean (a single
+    stall measured subgraph at 8 ms vs its true 0.27 ms)."""
     for _ in range(warmup):
         fn()
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(repeat):
+        t0 = time.perf_counter()
         fn()
-    return (time.perf_counter() - t0) / repeat * 1e3  # ms
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2] * 1e3  # ms
 
 
 def main():
@@ -179,8 +185,15 @@ def main():
     # The reference's scatter/segment run on the torch CPU backend; ours
     # run through JAX (XLA:CPU here — on TPU they are measured by
     # bench_ops.py instead). Apples-to-apples only as "host fallback".
-    os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    # NOTE: env vars are too late here (the axon dev image imports jax at
+    # interpreter startup, capturing JAX_PLATFORMS=axon) — force the CPU
+    # backend through jax.config like tests/conftest.py does, and verify.
     import jax
+
+    jax.config.update('jax_platforms', 'cpu')
+    assert jax.default_backend() == 'cpu', (
+        'device-op comparison must run on XLA:CPU, got '
+        f'{jax.default_backend()}')
     import jax.numpy as jnp
 
     from pyg_lib_tpu import ops
