@@ -1,0 +1,154 @@
+"""papers100M-shaped scale audit of the preprocessing chain.
+
+Proves the host-side chain — synthetic power-law generation → k-way
+partition (`partition.metis`, native path) → `cluster_reorder` (chunked)
+→ dedup SpMM plan build — runs in bounded memory and finite time at
+10M / 30M / 100M nodes, against the 16 GB deployment-host budget
+(round-4 verdict task 7; reference analog: the METIS preprocessing the
+reference delegates to PyG's distributed package).
+
+Tier modes:
+
+* ``full`` (10M nodes): the ENTIRE graph's sharded dedup plans (fwd +
+  transpose), as a single 16 GB host would build for one-chip training.
+* ``perhost`` (30M / 100M nodes): partition + reorder the full graph,
+  then build plans for ONE partition's row block — the production
+  multi-host path, where each host builds only its share (hosts build
+  concurrently; per-host wall time is the deployment cost). A SINGLE
+  host holding a full 1B-edge dedup plan is impossible by arithmetic
+  (~36 bytes/slot × 1B slots ≈ 36 GB), so it is out of scope by design,
+  not by omission.
+
+Each tier runs in a fresh subprocess so `ru_maxrss` is per-tier. One
+JSON line per tier; the committed artifact is SCALE_AUDIT.json.
+`tests/test_scale_audit.py` asserts the 10M tier.
+"""
+
+import json
+import os
+import resource
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+TIERS = [
+    {'nodes': 10_000_000, 'avg_degree': 10, 'parts': 16, 'mode': 'full'},
+    {'nodes': 30_000_000, 'avg_degree': 10, 'parts': 16,
+     'mode': 'perhost'},
+    {'nodes': 100_000_000, 'avg_degree': 10, 'parts': 16,
+     'mode': 'perhost'},
+]
+
+
+def _rss_gb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def child(tier_idx: int):
+    import numpy as np
+
+    import jax
+
+    jax.config.update('jax_platforms', 'cpu')  # plan build is host work
+
+    from pyg_lib_tpu import ops, partition
+
+    t = dict(TIERS[tier_idx])
+    if os.environ.get('PYGT_AUDIT_SCALE'):  # test hook: shrink tiers
+        t['nodes'] = max(int(t['nodes'] * float(
+            os.environ['PYGT_AUDIT_SCALE'])), 10_000)
+    n, deg, k = t['nodes'], t['avg_degree'], t['parts']
+    rec = {'nodes': n, 'avg_degree': deg, 'parts': k, 'mode': t['mode']}
+    rng = np.random.default_rng(0)
+
+    # ---- generate: Poisson out-degrees, Zipf(1.2) columns (chunked) ----
+    t0 = time.time()
+    degs = rng.poisson(deg, n).astype(np.int64)
+    rowptr = np.zeros(n + 1, np.int64)
+    np.cumsum(degs, out=rowptr[1:])
+    e = int(rowptr[-1])
+    del degs
+    p = 1.0 / np.arange(1, n + 1, dtype=np.float64)**1.2
+    p /= p.sum()
+    col = np.empty(e, np.int64)  # int64: the native partition ABI
+    step = 50_000_000
+    for lo in range(0, e, step):
+        hi = min(lo + step, e)
+        col[lo:hi] = rng.choice(n, hi - lo, p=p)
+    del p
+    rec['edges'] = e
+    rec['gen_s'] = round(time.time() - t0, 1)
+
+    # ---- partition (native BFS-grow + refine) --------------------------
+    t0 = time.time()
+    part = partition.metis(rowptr, col, k, impl='cpp')
+    rec['partition_s'] = round(time.time() - t0, 1)
+    rec['edge_cut_frac'] = round(
+        partition.edge_cut(rowptr, col, part) / e, 4)
+
+    # ---- cluster reorder (chunked, int32 columns, no edge_perm) --------
+    t0 = time.time()
+    new_rowptr, new_col, node_perm, _ = partition.cluster_reorder(
+        rowptr, col, part, block_rows=2_000_000, with_edge_perm=False,
+        col_dtype=np.int32)
+    del col  # the int64 original is the biggest array in the chain
+    rec['reorder_s'] = round(time.time() - t0, 1)
+
+    # ---- plan build ----------------------------------------------------
+    t0 = time.time()
+    if t['mode'] == 'full':
+        # chunk='auto' fits ec to the degrees — with the default 512,
+        # deg-10 tiles stored mostly-empty [8, EC] metadata blocks
+        # (measured 23.65 GB of plans / 236 B per edge at this tier).
+        graph = ops.build_spmm_graph_sharded(new_rowptr, new_col,
+                                             num_splits=4, chunk='auto',
+                                             dedup='auto')
+        rec['plan_sides'] = 'fwd+bwd, 4 row splits, full graph'
+        nbytes = sum(
+            a.nbytes for pl in (list(graph.fwd) + list(graph.bwd))
+            for a in jax.tree_util.tree_leaves(pl))
+    else:
+        # One partition's contiguous row block (post-reorder): the
+        # per-host share. Hosts build their shares concurrently in a
+        # real deployment; this is the per-host cost.
+        hi_node = int((part == 0).sum())  # rows [0, count0) after reorder
+        lo_e, hi_e = int(new_rowptr[0]), int(new_rowptr[hi_node])
+        sub_rp = new_rowptr[:hi_node + 1].copy()
+        sub_cl = new_col[lo_e:hi_e]
+        graph = ops.build_spmm_graph(sub_rp, sub_cl, num_cols=n,
+                                     chunk='auto', dedup='auto')
+        rec['plan_sides'] = (f'fwd+bwd, partition 0/{k} '
+                             f'({hi_node} rows, {hi_e - lo_e} edges)')
+        nbytes = sum(a.nbytes
+                     for a in jax.tree_util.tree_leaves(graph)
+                     if hasattr(a, 'nbytes'))
+    rec['plan_build_s'] = round(time.time() - t0, 1)
+    rec['plan_bytes_gb'] = round(nbytes / 1e9, 2)
+    rec['peak_rss_gb'] = round(_rss_gb(), 2)
+    rec['fits_16gb'] = rec['peak_rss_gb'] <= 16.0
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    for i, t in enumerate(TIERS):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--child', str(i)],
+            capture_output=True, text=True, cwd=HERE)
+        out = [ln for ln in (r.stdout or '').splitlines()
+               if ln.startswith('{')]
+        if out:
+            print(out[-1], flush=True)
+        else:
+            print(json.dumps({'nodes': t['nodes'], 'error': 'child failed',
+                              'tail': (r.stderr or '')[-300:]}),
+                  flush=True)
+
+
+if __name__ == '__main__':
+    if len(sys.argv) == 3 and sys.argv[1] == '--child':
+        child(int(sys.argv[2]))
+    else:
+        main()

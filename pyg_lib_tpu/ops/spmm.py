@@ -161,6 +161,35 @@ class SpmmGraph(NamedTuple):
     bwd: SpmmPlan  # plan over the transposed graph (for grad_x)
     deg: jax.Array  # [num_rows] f32 row degrees (for reduce='mean')
     mm: Optional[object] = None  # min/max plan (pair-deduped edges)
+    # Cluster reordering (build_spmm_graph(reorder=...)): plans are laid
+    # out over the RELABELED graph; spmm permutes x in and the output
+    # back out per call (two stream passes, exact-VJP). perm[new]=old,
+    # rank[old]=new.
+    perm: Optional[jax.Array] = None
+    rank: Optional[jax.Array] = None
+
+
+@jax.custom_vjp
+def _permute_rows(x, perm, inv):
+    """``x[perm]`` with the exact inverse-permutation backward.
+
+    Plain ``jnp.take``'s transpose is an XLA scatter (~35 GB/s measured,
+    BENCHMARKS.md) — on a permutation the cotangent is just the inverse
+    gather, which runs at stream rate."""
+    return jnp.take(x, perm, axis=0)
+
+
+def _permute_rows_fwd(x, perm, inv):
+    return jnp.take(x, perm, axis=0), inv
+
+
+def _permute_rows_bwd(inv, g):
+    return (jnp.take(g, inv, axis=0),
+            np.zeros(jnp.shape(inv), jax.dtypes.float0),
+            np.zeros(jnp.shape(inv), jax.dtypes.float0))
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 def _transpose_csr(rowptr, col, num_cols, return_order: bool = False):
@@ -220,7 +249,8 @@ def build_spmm_graph(rowptr, col, chunk=512,
                      range_fused: bool = False,
                      dedup='off',
                      edge_weight=None,
-                     minmax='off') -> SpmmGraph:
+                     minmax='off',
+                     reorder='off') -> SpmmGraph:
     """Host-side, one-time: build fwd and transpose SpMM plans.
 
     ``with_edge_maps=True`` equips the forward plan for the padded-space
@@ -259,6 +289,18 @@ def build_spmm_graph(rowptr, col, chunk=512,
     once, the hub-penalty fix), ``'auto'`` picks it past the ~1.3x
     estimated gather gain and otherwise keeps a plain plan over the
     deduped edges. Without it, min/max requires a single-plan graph.
+
+    ``reorder`` in {'off', 'auto', 'on'} or an int partition count:
+    cluster-relabel the graph (``partition.metis`` +
+    ``partition.cluster_reorder``) before planning, so each 128-row
+    tile's gathers concentrate in one region and the dedup estimator
+    sees the clustered layout; :func:`spmm` then permutes ``x`` in and
+    the output back per call (two stream passes with exact-permutation
+    VJPs — callers keep the original id space). ``'auto'`` adopts the
+    relabeling only when it raises the estimated dedup gain past the
+    crossover (uniform-random graphs have no cluster structure to
+    recover — measured negative, BENCHMARKS.md round-5). Square
+    adjacencies only; incompatible with ``with_edge_maps``.
     """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
@@ -275,6 +317,48 @@ def build_spmm_graph(rowptr, col, chunk=512,
                          f"{minmax!r}")
     minmax = {'off': 'off', False: 'off', 'on': 'on', True: 'on',
               'auto': 'auto'}[minmax]
+    perm_j = rank_j = None
+    deg_np = np.diff(rowptr).astype(np.float32)  # ORIGINAL row order
+    if reorder not in ('off', 'auto', 'on', False, True) and not isinstance(
+            reorder, int):
+        raise ValueError(f"reorder must be 'off', 'auto', 'on' or a "
+                         f"partition count, got {reorder!r}")
+    reorder = {'off': 'off', False: 'off', 'on': 'on', True: 'on',
+               'auto': 'auto'}.get(reorder, reorder)
+    if reorder != 'off':
+        if num_cols != num_rows:
+            raise ValueError('reorder requires a square adjacency')
+        if with_edge_maps:
+            raise ValueError('reorder is incompatible with with_edge_maps '
+                             '(padded-edge coordinates must stay stable)')
+        from pyg_lib_tpu import partition as _partition
+        k = reorder if isinstance(reorder, int) else 256
+        k = min(k, max(num_rows // 128, 2))
+        part = _partition.metis(rowptr, col, k)
+        rp_r, cl_r, node_perm, edge_perm = _partition.cluster_reorder(
+            rowptr, col, part)
+        adopt = True
+        if reorder == 'auto':
+            # Adopt only when the relabeling actually creates tile-scope
+            # reuse the dedup schedule can cash in (uniform-random
+            # graphs have no cluster structure to recover — measured
+            # negative, BENCHMARKS.md round-5).
+            from pyg_lib_tpu.ops.pallas.spmm_dedup import estimate_dedup
+            ecr = 512 if chunk == 'auto' else int(chunk)
+            _, g0 = estimate_dedup(rowptr, col, ec=ecr)
+            _, g1 = estimate_dedup(rp_r, cl_r, ec=ecr)
+            adopt = g1 >= max(1.3, 1.1 * g0)
+        if adopt:
+            rowptr, col = rp_r, cl_r
+            if edge_weight is not None:
+                edge_weight = np.asarray(edge_weight,
+                                         np.float32)[edge_perm]
+            perm_j = jnp.asarray(node_perm.astype(np.int32)
+                                 if num_rows < 2**31 else node_perm)
+            rank = np.empty(num_rows, np.int64)
+            rank[node_perm] = np.arange(num_rows, dtype=np.int64)
+            rank_j = jnp.asarray(rank.astype(np.int32)
+                                 if num_rows < 2**31 else rank)
     mm = None
     if minmax != 'off':
         from pyg_lib_tpu.ops.pallas.spmm_dedup import estimate_dedup
@@ -308,7 +392,11 @@ def build_spmm_graph(rowptr, col, chunk=512,
                              'and range_split')
         from pyg_lib_tpu.ops.pallas.spmm_dedup import (build_dedup_plan,
                                                        estimate_dedup)
-        ec = 512 if chunk == 'auto' else int(chunk)
+        # 'auto' fits ec to the degree distribution: low-degree tiles
+        # with ec=512 store mostly-empty [8, EC] metadata blocks
+        # (measured 236 B/edge on a deg-10 graph — scale audit).
+        from pyg_lib_tpu.ops.pallas.spmm_chunked import auto_chunk as _ac
+        ec = _ac(rowptr) if chunk == 'auto' else int(chunk)
         if edge_weight is not None:
             edge_weight = np.asarray(edge_weight, dtype=np.float32)
         t_ptr, t_col, order = _transpose_csr(rowptr, col, num_cols,
@@ -331,8 +419,8 @@ def build_spmm_graph(rowptr, col, chunk=512,
             dedup = 'on'
         fwd = side(rowptr, col, edge_weight)
         bwd = side(t_ptr, t_col, t_weight)
-        deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
-        return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg, mm=mm)
+        return SpmmGraph(fwd=fwd, bwd=bwd, deg=jnp.asarray(deg_np),
+                         mm=mm, perm=perm_j, rank=rank_j)
     if chunk == 'auto' and range_split == 1:
         from pyg_lib_tpu.ops.pallas.spmm_chunked import auto_chunk
         chunk = auto_chunk(rowptr)
@@ -355,8 +443,8 @@ def build_spmm_graph(rowptr, col, chunk=512,
             t_ptr, t_col = _transpose_csr(rowptr, col, num_cols)
             bwd = _build_range_plan(t_ptr, t_col, num_rows, range_split,
                                     chunk)
-        deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
-        return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg, mm=mm)
+        return SpmmGraph(fwd=fwd, bwd=bwd, deg=jnp.asarray(deg_np),
+                         mm=mm, perm=perm_j, rank=rank_j)
     fwd = build_spmm_plan(rowptr, col, chunk=chunk,
                           with_edge_maps=with_edge_maps)
 
@@ -364,8 +452,8 @@ def build_spmm_graph(rowptr, col, chunk=512,
     bwd = build_spmm_plan(t_ptr, t_col, chunk=chunk,
                           with_edge_maps=with_edge_maps)
 
-    deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
-    return SpmmGraph(fwd=fwd, bwd=bwd, deg=deg, mm=mm)
+    return SpmmGraph(fwd=fwd, bwd=bwd, deg=jnp.asarray(deg_np),
+                     mm=mm, perm=perm_j, rank=rank_j)
 
 
 def _zero_cot(tree):
@@ -445,6 +533,11 @@ def spmm(x: jax.Array, graph: SpmmGraph, reduce: str = 'sum',
                          f"'bf16' or 'int8', got {precision!r}")
     if precision == 'highest':
         precision = None
+    xp = x
+    if graph.perm is not None:
+        # Cluster-reordered layout: permute in, compute over the
+        # relabeled graph, permute back (graph.deg stays original-order).
+        xp = _permute_rows(x, graph.perm, graph.rank)
     if reduce in ('max', 'min'):
         from pyg_lib_tpu.ops.pallas.spmm_dedup_minmax import DedupMinmaxPlan
         plan = graph.mm if graph.mm is not None else graph.fwd
@@ -453,12 +546,17 @@ def spmm(x: jax.Array, graph: SpmmGraph, reduce: str = 'sum',
                 "spmm reduce='max'/'min' needs a single-plan graph or "
                 "one built with minmax='auto'/'on' (range_split/dedup "
                 'plans carry no min/max schedule of their own)')
-        return _spmm_minmax(x, graph, reduce == 'min').astype(x.dtype)
+        out = _spmm_minmax(xp, graph, reduce == 'min').astype(x.dtype)
+        if graph.perm is not None:
+            out = _permute_rows(out, graph.rank, graph.perm)
+        return out
     if reduce not in ('sum', 'add', 'mean'):
         raise ValueError(
             f"spmm reduce must be 'sum', 'add', 'mean', 'max' or 'min', "
             f"got {reduce!r}")
-    out = _spmm_sum(x, graph, precision)
+    out = _spmm_sum(xp, graph, precision)
+    if graph.perm is not None:
+        out = _permute_rows(out, graph.rank, graph.perm)
     if reduce == 'mean':
         d = jnp.maximum(graph.deg, 1.0).astype(out.dtype)
         out = out / d[:, None]
@@ -599,7 +697,11 @@ def _spmm_minmax_impl(x, graph, is_min):
         vals, pos = _exact_rowmax(-msgs if is_min else msgs, plan)
     if is_min:
         vals = -vals
-    empty = (graph.deg < 0.5)[:, None]
+    deg = graph.deg
+    if graph.perm is not None:
+        # graph.deg is original-order; this impl runs in relabeled space.
+        deg = jnp.take(deg, graph.perm, axis=0)
+    empty = (deg < 0.5)[:, None]
     vals = jnp.where(empty, 0.0, vals)
     pos = jnp.where(empty | (pos >= POS_NONE), jnp.int32(-1), pos)
     return vals, pos
@@ -787,7 +889,10 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
         if dedup != 'off':
             from pyg_lib_tpu.ops.pallas.spmm_dedup import (
                 build_dedup_plan, estimate_dedup)
-            ec = 512 if chunk == 'auto' else int(chunk)
+            # 'auto' fits ec to the degree distribution: low-degree
+            # tiles with ec=512 store mostly-empty [8, EC] metadata
+            # blocks (measured 236 B/edge at deg 10 — scale audit).
+            ec = auto_chunk(rp) if chunk == 'auto' else int(chunk)
             _, gain = estimate_dedup(rp, cl, ec=ec)
             if dedup == 'on' or gain >= 1.3:
                 from pyg_lib_tpu.ops.pallas.spmm_dedup import (pad_hot,
