@@ -100,28 +100,38 @@ def child(tier_idx: int):
     # ---- plan build ----------------------------------------------------
     t0 = time.time()
     if t['mode'] == 'full':
-        # chunk='auto' fits ec to the degrees — with the default 512,
-        # deg-10 tiles stored mostly-empty [8, EC] metadata blocks
-        # (measured 23.65 GB of plans / 236 B per edge at this tier).
+        # PLAIN plans for the full graph: dedup plans at this tier
+        # measured 16.9 GB (23.65 before ec='auto' fitting) — too big
+        # for the 16 GB host AND for a 16 GB chip's HBM, so the
+        # deployable single-chip config is plain sharded plans; dedup
+        # belongs to the per-host partition slices (modes below, which
+        # fit) and to chips with the plan budget.
         graph = ops.build_spmm_graph_sharded(new_rowptr, new_col,
-                                             num_splits=4, chunk='auto',
-                                             dedup='auto')
-        rec['plan_sides'] = 'fwd+bwd, 4 row splits, full graph'
+                                             num_splits=4, chunk='auto')
+        rec['plan_sides'] = 'fwd+bwd, 4 row splits, full graph, plain'
         nbytes = sum(
             a.nbytes for pl in (list(graph.fwd) + list(graph.bwd))
             for a in jax.tree_util.tree_leaves(pl))
     else:
         # One partition's contiguous row block (post-reorder): the
         # per-host share. Hosts build their shares concurrently in a
-        # real deployment; this is the per-host cost.
+        # real deployment; this is the per-host cost. Columns are
+        # COMPACTED to the referenced (halo) set — exactly what the
+        # halo-exchange layer feeds the device — because a transpose
+        # plan over the full 100M-column space is ~94% empty rows,
+        # each empty tile still costing one all-pad chunk (measured
+        # 18.6 GB of plans at the 100M tier before compaction).
         hi_node = int((part == 0).sum())  # rows [0, count0) after reorder
         lo_e, hi_e = int(new_rowptr[0]), int(new_rowptr[hi_node])
         sub_rp = new_rowptr[:hi_node + 1].copy()
-        sub_cl = new_col[lo_e:hi_e]
-        graph = ops.build_spmm_graph(sub_rp, sub_cl, num_cols=n,
+        uniq_cols = np.unique(new_col[lo_e:hi_e])
+        sub_cl = np.searchsorted(uniq_cols, new_col[lo_e:hi_e])
+        graph = ops.build_spmm_graph(sub_rp, sub_cl,
+                                     num_cols=int(uniq_cols.shape[0]),
                                      chunk='auto', dedup='auto')
         rec['plan_sides'] = (f'fwd+bwd, partition 0/{k} '
-                             f'({hi_node} rows, {hi_e - lo_e} edges)')
+                             f'({hi_node} rows, {hi_e - lo_e} edges, '
+                             f'{uniq_cols.shape[0]} halo cols)')
         nbytes = sum(a.nbytes
                      for a in jax.tree_util.tree_leaves(graph)
                      if hasattr(a, 'nbytes'))

@@ -163,11 +163,16 @@ def _select_hot(rowptr, col, num_tiles: int, hot, hot_thresh,
                 bytes_per_entry: int):
     """Pick the global hot column set from per-column tile spans.
 
-    A hot column trades its per-tile gather slots (~12 ns transaction
-    each, DESIGN.md §8) for one dense count column streamed per SpMM
-    (``num_tiles·TR·bytes_per_entry`` bytes ≈ 0.64 µs at headline
-    scale): worth it once the tile span crosses ``~num_tiles/24``.
-    Returns a sorted int64 column array, or ``None`` (no hot level).
+    A hot column trades its per-tile gather slots for one dense count
+    column streamed per SpMM plus its share of the resident-slab MXU
+    dot. The threshold is bench-calibrated (round-5 sweep at headline
+    scale, BENCHMARKS.md): the measured optimum kept columns down to
+    tile span ~``num_tiles/56`` (hot=4096 at 566 GB/s vs 329 at the
+    round-4 ``num_tiles/24`` setting; spans below that flatline the
+    gather saving while the per-column MXU cost keeps growing —
+    hot=6144 measured WORSE). Wider storage entries (weighted plans)
+    scale the threshold by the count-matrix stream cost. Returns a
+    sorted int64 column array, or ``None`` (no hot level).
     """
     if hot == 'off' or num_tiles <= 1 or col.shape[0] == 0:
         return None
@@ -177,7 +182,7 @@ def _select_hot(rowptr, col, num_tiles: int, hot, hot_thresh,
     elif hot_thresh is None:
         if num_tiles < 16:
             return None  # dense count stream can't pay off on tiny grids
-        hot_thresh = max(num_tiles // 24, 4)
+        hot_thresh = max(num_tiles // 56, 4) * max(bytes_per_entry, 1)
     row = np.repeat(np.arange(rowptr.shape[0] - 1, dtype=np.int64),
                     np.diff(rowptr).astype(np.int64))
     key = col.astype(np.int64) * num_tiles + row // TR
@@ -257,8 +262,8 @@ def build_dedup_plan(rowptr, col, ec: int = 512, uc='auto',
                      pad_to_chunks: int = None,
                      hot='auto',
                      hot_thresh: int = None,
-                     hot_max: int = 2048,
-                     hot_budget_bytes: int = 256 << 20) -> DedupSpmmPlan:
+                     hot_max: int = 4096,
+                     hot_budget_bytes: int = 1 << 30) -> DedupSpmmPlan:
     """Build the dedup-gather schedule (one-time host preprocessing).
 
     ``ec`` bounds edges per grid step, ``uc`` bounds gathered unique
