@@ -18,10 +18,12 @@ Two graph families are measured and printed (last line = the headline):
   transaction floor (~12 ns/row; DESIGN.md §8) on the single plan.
 * ``graph: "powerlaw"`` — Zipf(1.2) in-degree, the shape of the
   BASELINE.json milestone graphs (ogbn-products / papers100M are
-  power-law): the round-4 dedup plan (``ops.build_spmm_graph(dedup=
-  'auto')``, ``pallas/spmm_dedup.py``) gathers each (tile, column) pair
-  once and re-expands duplicates on the MXU — measured 2.7-2.9x over
-  the single-plan bf16 path on chip (BENCHMARKS.md round 4).
+  power-law): the dedup plan (``ops.build_spmm_graph(dedup='auto')``,
+  ``pallas/spmm_dedup.py``) gathers each (tile, column) pair once and
+  re-expands duplicates on the MXU; the round-5 hot-column
+  recalibration (4096 VMEM-resident hub columns) measures 566 GB/s =
+  0.69 roofline on chip — 3.1x the uniform single-plan line
+  (BENCHMARKS.md round 5).
 
 Structure (learned from round 1, where the driver recorded rc=124 and no
 line at all): the parent process never imports jax, so it can never hang on

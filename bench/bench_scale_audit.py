@@ -91,10 +91,15 @@ def child(tier_idx: int):
 
     # ---- cluster reorder (chunked, int32 columns, no edge_perm) --------
     t0 = time.time()
+    # The int64 col (the native partition ABI's dtype) is the biggest
+    # array in the chain; past the partition, int32 halves it — the peak
+    # otherwise lands mid-reorder at ~18 GB on the 100M tier.
+    col32 = col.astype(np.int32)
+    del col
     new_rowptr, new_col, node_perm, _ = partition.cluster_reorder(
-        rowptr, col, part, block_rows=2_000_000, with_edge_perm=False,
+        rowptr, col32, part, block_rows=2_000_000, with_edge_perm=False,
         col_dtype=np.int32)
-    del col  # the int64 original is the biggest array in the chain
+    del col32
     rec['reorder_s'] = round(time.time() - t0, 1)
 
     # ---- plan build ----------------------------------------------------
@@ -122,6 +127,11 @@ def child(tier_idx: int):
         # each empty tile still costing one all-pad chunk (measured
         # 18.6 GB of plans at the 100M tier before compaction).
         hi_node = int((part == 0).sum())  # rows [0, count0) after reorder
+        # Dead weight for the rest of the chain (rowptr/part consumed by
+        # the reorder; node_perm only matters when permuting features at
+        # train time): 2.4 GB at this tier, the difference between
+        # fitting 16 GB and not.
+        del rowptr, part, node_perm
         lo_e, hi_e = int(new_rowptr[0]), int(new_rowptr[hi_node])
         sub_rp = new_rowptr[:hi_node + 1].copy()
         uniq_cols = np.unique(new_col[lo_e:hi_e])
