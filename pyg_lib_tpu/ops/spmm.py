@@ -906,14 +906,23 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
                 # the full edge list inflates padded unique slots per
                 # chunk); differing splits then rebuild at the max so
                 # the kernel shape still unifies.
+                # The default 1 GB hot-count-matrix budget is PER
+                # PLAN; a sharded graph holds num_splits x 2 of them,
+                # so divide it across splits (the fwd and bwd sides
+                # stream in different passes, so per-side is the right
+                # grain) to keep the graph's total hot footprint at
+                # the single-plan level.
+                hb = max((1 << 30) // num_splits, 32 << 20)
                 plans = [
-                    build_dedup_plan(s_rp, s_cl, ec=ec, uc='auto')
+                    build_dedup_plan(s_rp, s_cl, ec=ec, uc='auto',
+                                     hot_budget_bytes=hb)
                     for s_rp, s_cl in subs
                 ]
                 ucmax = max(p.uc for p in plans)
                 plans = [
                     p if p.uc == ucmax else build_dedup_plan(
-                        s_rp, s_cl, ec=ec, uc=ucmax)
+                        s_rp, s_cl, ec=ec, uc=ucmax,
+                        hot_budget_bytes=hb)
                     for p, (s_rp, s_cl) in zip(plans, subs)
                 ]
                 cmax = max(p.num_chunks for p in plans)
