@@ -211,3 +211,47 @@ def test_plan_too_large_raises():
                   np.tile(np.arange(8, dtype=np.int64), n_big)) % n_big
         build_dedup_minmax_plan(big_rp, big_cl, ec=8, uc=8,
                                 _pre_deduped=True)
+
+
+@pytest.mark.slow
+def test_fuzz_kernel_vs_xla_interpret():
+    """Randomized configs (shape grid, ties, extreme scales): the
+    interpret-mode kernel must match the XLA oracle bit for bit — the
+    CI version of the on-chip fuzz that passed 10/10 in round 5."""
+    from pyg_lib_tpu.ops.pallas.spmm_dedup_minmax import _dedup_minmax_xla
+
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        n = int(rng.integers(130, 1200))
+        e = int(rng.integers(n, n * 12))
+        f = int(rng.choice([8, 32, 128]))
+        zipf = float(rng.uniform(1.0, 1.6))
+        ec = int(rng.choice([64, 128, 256]))
+        uc = min(int(rng.choice([16, 32, 64, 128])), ec)
+        row = rng.integers(0, n, e)
+        km = int(rng.choice([0, 7, 13]))
+        if km:
+            row = row[row % km != 0]
+        p = 1.0 / np.arange(1, n + 1)**zipf
+        p /= p.sum()
+        col = rng.choice(n, row.shape[0], p=p)
+        order = np.argsort(row, kind='stable')
+        rowptr = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(row, minlength=n), out=rowptr[1:])
+        col = col[order].astype(np.int64)
+        rp_d, cl_d = dedup_pairs(rowptr, col)
+        plan = build_dedup_minmax_plan(rp_d, cl_d, ec=ec, uc=uc,
+                                       _pre_deduped=True)
+        xv = rng.normal(size=(n, f)).astype(np.float32) * rng.choice(
+            [1.0, 1e4, 1e-4])
+        if trial % 3 == 0:
+            xv[rng.integers(0, n, 5)] = xv[rng.integers(0, n)]  # ties
+        x = jnp.asarray(xv)
+        v_k, p_k = dedup_minmax_apply(x, plan, interpret=True)
+        slab = jnp.take(x, plan.uniq_cols, axis=0)
+        v_x, p_x = _dedup_minmax_xla(slab, plan.edge_meta,
+                                     plan.chunk_tile, plan.num_rows,
+                                     plan.ec, plan.uc)
+        cfg = f'trial {trial}: n={n} f={f} ec={ec} uc={uc}'
+        assert np.array_equal(np.asarray(v_k), np.asarray(v_x)), cfg
+        assert np.array_equal(np.asarray(p_k), np.asarray(p_x)), cfg
