@@ -60,7 +60,7 @@ from pyg_lib_tpu.ops.pallas.spmm_dedup import (META_SUB, _pack_tile,
 
 __all__ = [
     'DedupMinmaxPlan', 'build_dedup_minmax_plan', 'dedup_minmax_apply',
-    'dedup_pairs', 'estimate_minmax_config',
+    'dedup_pairs', 'estimate_minmax_config', 'pad_minmax_plan',
 ]
 
 
@@ -249,6 +249,32 @@ def build_dedup_minmax_plan(rowptr, col, ec: int = 512, uc='auto',
         uc=int(uc),
         scan_len=int(scan_len),
     )
+
+
+def pad_minmax_plan(plan: DedupMinmaxPlan, num_chunks: int,
+                    scan_len: int = None) -> DedupMinmaxPlan:
+    """Append all-pad chunks (rows = TR, never extracted) and/or raise
+    the static scan depth so several plans share one compiled kernel
+    shape (the sharded path's contract)."""
+    if scan_len is not None and scan_len > plan.scan_len:
+        plan = plan._replace(scan_len=int(scan_len))
+    extra = num_chunks - plan.num_chunks
+    if extra <= 0:
+        return plan
+    uniq = np.concatenate([
+        np.asarray(jax.device_get(plan.uniq_cols)),
+        np.zeros(extra * plan.uc, np.int32)
+    ])
+    meta_pad = np.zeros((extra, META_SUB, plan.ec), np.int32)
+    meta_pad[:, 0, :] = TR  # pad rows match no output row
+    meta = np.concatenate(
+        [np.asarray(jax.device_get(plan.edge_meta)), meta_pad])
+    ct = np.asarray(jax.device_get(plan.chunk_tile))
+    last = ct[-1] if len(ct) else 0
+    ct = np.concatenate([ct, np.full(extra, last, np.int32)])
+    return plan._replace(uniq_cols=jnp.asarray(uniq),
+                         edge_meta=jnp.asarray(meta),
+                         chunk_tile=jnp.asarray(ct))
 
 
 def _meta_to_cols(meta, ec: int):

@@ -829,6 +829,7 @@ class ShardedSpmmGraph(NamedTuple):
     deg: jax.Array
     num_rows: int
     num_cols: int
+    mm: Optional[tuple] = None  # per-split min/max plans (pair-deduped)
 
 
 register_plan_pytree(ShardedSpmmGraph, ('num_rows', 'num_cols'))
@@ -838,7 +839,8 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
                              chunk: int = 512,
                              num_cols: int = None,
                              range_split: int = 1,
-                             dedup='off') -> ShardedSpmmGraph:
+                             dedup='off',
+                             minmax='off') -> ShardedSpmmGraph:
     """Host-side: build ``num_splits`` row-range SpMM plans (+transpose).
 
     ``range_split=S`` additionally column-range-partitions every split
@@ -867,6 +869,12 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
         raise ValueError("dedup must be 'off', 'auto' or 'on'")
     if dedup != 'off' and range_split > 1:
         raise ValueError('dedup is incompatible with range_split')
+    minmax = {'off': 'off', False: 'off', 'on': 'on', True: 'on',
+              'auto': 'auto'}.get(minmax)
+    if minmax is None:
+        raise ValueError("minmax must be 'off', 'auto' or 'on'")
+    if minmax != 'off' and range_split > 1:
+        raise ValueError('minmax is incompatible with range_split')
 
     def split_csrs(rp, cl, n_rows):
         # Uniform split shapes (equal row count, padded equal chunk
@@ -967,9 +975,45 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
     t_ptr, t_col = _transpose_csr(rowptr, col, num_cols)
     bwd = split_plans(t_ptr, t_col, num_cols, num_rows)
 
+    mm = None
+    if minmax != 'off':
+        # Per-split min/max plans over PAIR-DEDUPED edges, padded to one
+        # (chunks, uc, scan_len) so every split shares ONE compiled
+        # kernel — same contract as the sum plans above. 'auto' gates
+        # once on the FULL deduped graph so all splits agree on the
+        # schedule type.
+        from pyg_lib_tpu.ops.pallas.spmm_dedup import estimate_dedup
+        from pyg_lib_tpu.ops.pallas.spmm_dedup_minmax import (
+            build_dedup_minmax_plan, dedup_pairs, estimate_minmax_config,
+            pad_minmax_plan)
+        rp_d, cl_d = dedup_pairs(rowptr, col)
+        ec_mm, uc_mm = estimate_minmax_config(rp_d, cl_d)
+        use_kernel = minmax == 'on'
+        if not use_kernel:
+            _, gain = estimate_dedup(rp_d, cl_d, ec=ec_mm)
+            use_kernel = gain >= 1.3
+        subs_d = split_csrs(rp_d, cl_d, num_rows)
+        if use_kernel:
+            plans = [
+                build_dedup_minmax_plan(s_rp, s_cl, ec=ec_mm, uc=uc_mm,
+                                        _pre_deduped=True)
+                for s_rp, s_cl in subs_d
+            ]
+            cmax = max(p.num_chunks for p in plans)
+            smax = max(p.scan_len for p in plans)
+            mm = tuple(
+                pad_minmax_plan(p, cmax, scan_len=smax) for p in plans)
+        else:
+            ck = (max(auto_chunk(s_rp) for s_rp, _ in subs_d)
+                  if chunk == 'auto' else int(chunk))
+            cmax = max(_plan_chunks(s_rp, ck) for s_rp, _ in subs_d)
+            mm = tuple(
+                build_spmm_plan(s_rp, s_cl, chunk=ck, pad_to_chunks=cmax)
+                for s_rp, s_cl in subs_d)
+
     deg = jnp.asarray(np.diff(rowptr).astype(np.float32))
     return ShardedSpmmGraph(fwd=fwd, bwd=bwd, deg=deg, num_rows=num_rows,
-                            num_cols=num_cols)
+                            num_cols=num_cols, mm=mm)
 
 
 def _sharded_apply(x, plans, num_rows=None, precision=None):
@@ -1005,6 +1049,73 @@ _spmm_sharded_sum.defvjp(
      _zero_cot(graph)))
 
 
+def _sharded_minmax_impl(x, graph, is_min):
+    """Per-split min/max: returns (vals [N, F], per-split positions)."""
+    from pyg_lib_tpu.ops.pallas.spmm_dedup_minmax import (
+        DedupMinmaxPlan, dedup_minmax_apply)
+
+    plans = graph.mm if graph.mm is not None else graph.fwd
+    xi = -x if is_min else x
+    vals_l, pos_l = [], []
+    for p in plans:
+        if isinstance(p, DedupMinmaxPlan):
+            v, q = dedup_minmax_apply(xi, p)
+        else:
+            msgs = jnp.take(xi, p.col_padded, axis=0)
+            v, q = _exact_rowmax(msgs, p)
+        vals_l.append(v)
+        pos_l.append(q)
+    vals = jnp.concatenate(vals_l, axis=0)[:graph.num_rows]
+    if is_min:
+        vals = -vals
+    empty = (graph.deg < 0.5)[:, None]
+    vals = jnp.where(empty, 0.0, vals)
+    return vals, tuple(pos_l)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, ))
+def _spmm_sharded_minmax(x, graph: ShardedSpmmGraph, is_min: bool):
+    return _sharded_minmax_impl(x, graph, is_min)[0]
+
+
+def _spmm_sharded_minmax_fwd(x, graph, is_min):
+    vals, pos_l = _sharded_minmax_impl(x, graph, is_min)
+    return vals, (pos_l, jnp.zeros((x.shape[0], 0), x.dtype), graph)
+
+
+def _spmm_sharded_minmax_bwd(is_min, res, g):
+    # Winner-only gradient per split (reference contract,
+    # csrc/ops/autograd/scatter_kernel.cpp:432-456). Rows absent from a
+    # split (pads, empty rows) carry POS_NONE and route to the dropped
+    # sentinel row.
+    from pyg_lib_tpu.ops.pallas.segment_minmax_kernel import POS_NONE
+    from pyg_lib_tpu.ops.pallas.spmm_dedup_minmax import DedupMinmaxPlan
+
+    pos_l, proto, graph = res
+    plans = graph.mm if graph.mm is not None else graph.fwd
+    f = g.shape[1]
+    n_src = proto.shape[0]
+    npd = pos_l[0].shape[0]
+    gpad = jnp.pad(g, ((0, len(plans) * npd - g.shape[0]), (0, 0)))
+    cols = jnp.arange(f, dtype=jnp.int32)[None, :]
+    grad = jnp.zeros((n_src, f), g.dtype)
+    for i, (p, q) in enumerate(zip(plans, pos_l)):
+        idx = (p.uniq_cols
+               if isinstance(p, DedupMinmaxPlan) else p.col_padded)
+        safe = jnp.clip(q, 0, idx.shape[0] - 1)
+        col_win = jnp.where((q < 0) | (q >= POS_NONE), jnp.int32(n_src),
+                            jnp.take(idx, safe))
+        gs = jax.lax.dynamic_slice_in_dim(gpad, i * npd, npd, axis=0)
+        grad = grad.at[col_win,
+                       jnp.broadcast_to(cols, col_win.shape)].add(
+                           gs, mode='drop')
+    return (grad.astype(proto.dtype), _zero_cot(graph))
+
+
+_spmm_sharded_minmax.defvjp(_spmm_sharded_minmax_fwd,
+                            _spmm_sharded_minmax_bwd)
+
+
 def spmm_sharded(x: jax.Array, graph: ShardedSpmmGraph,
                  reduce: str = 'sum',
                  precision: Optional[str] = None) -> jax.Array:
@@ -1013,7 +1124,20 @@ def spmm_sharded(x: jax.Array, graph: ShardedSpmmGraph,
     ``precision`` matches :func:`spmm` (None / 'highest' / 'bf16' /
     'int8'); with 'int8', each row split quantises against the same full
     table so per-column scales are identical across splits.
+    ``reduce='max'/'min'`` needs plain split plans or a graph built with
+    ``minmax='auto'/'on'`` (per-split pair-deduped schedules); exact
+    values with the winner-only gradient, like :func:`spmm`.
     """
+    if reduce in ('max', 'min'):
+        from pyg_lib_tpu.ops.pallas.spmm_dedup_minmax import DedupMinmaxPlan
+        plans = graph.mm if graph.mm is not None else graph.fwd
+        if not all(isinstance(p, (SpmmPlan, DedupMinmaxPlan))
+                   for p in plans):
+            raise ValueError(
+                "spmm_sharded reduce='max'/'min' needs plain split plans "
+                "or a graph built with minmax='auto'/'on'")
+        return _spmm_sharded_minmax(x, graph,
+                                    reduce == 'min').astype(x.dtype)
     if reduce not in ('sum', 'add', 'mean'):
         raise ValueError(
             f"spmm reduce must be 'sum', 'add' or 'mean', got {reduce!r}")

@@ -255,3 +255,41 @@ def test_fuzz_kernel_vs_xla_interpret():
         cfg = f'trial {trial}: n={n} f={f} ec={ec} uc={uc}'
         assert np.array_equal(np.asarray(v_k), np.asarray(v_x)), cfg
         assert np.array_equal(np.asarray(p_k), np.asarray(p_x)), cfg
+
+
+@pytest.mark.parametrize('minmax_mode', ['auto', 'on'])
+def test_sharded_minmax_matches_single_graph(minmax_mode):
+    rowptr, col = _graph(seed=21, n=700, e=9000, zipf=1.3, empty_mod=11)
+    n = rowptr.shape[0] - 1
+    g0 = ops.build_spmm_graph(rowptr, col)
+    gs = ops.build_spmm_graph_sharded(rowptr, col, num_splits=3,
+                                      dedup='auto', minmax=minmax_mode)
+    assert gs.mm is not None
+    x = jnp.asarray(
+        np.random.default_rng(6).normal(size=(n, 24)).astype(np.float32))
+    for red in ('max', 'min'):
+        a = np.asarray(ops.spmm(x, g0, reduce=red))
+        b = np.asarray(ops.spmm_sharded(x, gs, reduce=red))
+        assert np.array_equal(a, b)
+    ga = jax.grad(lambda xx: (ops.spmm(xx, g0, reduce='max')**2).sum())(x)
+    gb = jax.grad(
+        lambda xx: (ops.spmm_sharded(xx, gs, reduce='max')**2).sum())(x)
+    assert np.array_equal(np.asarray(ga), np.asarray(gb))
+
+
+def test_sharded_minmax_plain_plans_and_guard():
+    rowptr, col = _graph(seed=22, n=500, e=4000)
+    n = rowptr.shape[0] - 1
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(n, 8)).astype(np.float32))
+    # plain split plans serve min/max directly
+    gp = ops.build_spmm_graph_sharded(rowptr, col, num_splits=2)
+    out = np.asarray(ops.spmm_sharded(x, gp, reduce='max'))
+    ref = np.asarray(
+        ops.spmm(x, ops.build_spmm_graph(rowptr, col), reduce='max'))
+    assert np.array_equal(out, ref)
+    # dedup split plans without minmax= still raise
+    gd = ops.build_spmm_graph_sharded(rowptr, col, num_splits=2,
+                                      dedup='on')
+    with pytest.raises(ValueError, match='minmax'):
+        ops.spmm_sharded(x, gd, reduce='max')
