@@ -857,6 +857,11 @@ def build_spmm_graph_sharded(rowptr, col, num_splits: int,
     times. ``'auto'`` decides per side from the full graph's estimated
     tile-scope reuse (>= 1.3x crossover); splits pad to one chunk count
     so they share ONE compiled kernel.
+
+    ``minmax`` in {'off', 'auto', 'on'} builds per-split
+    ``reduce='max'/'min'`` schedules over PAIR-DEDUPED edges (see
+    :func:`build_spmm_graph`); without it, sharded min/max needs plain
+    (non-dedup) split plans.
     """
     rowptr = np.asarray(rowptr, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
